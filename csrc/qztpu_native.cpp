@@ -1,0 +1,611 @@
+// qztpu_native — host-side native runtime for the TPU-native QATzip rebuild.
+//
+// Provides the byte-serial pieces that stay on the host CPU:
+//   * xxh32 (LZ4 frame checksums; analog of the reference's vendored xxhash,
+//     src/xxhash.c)
+//   * LZ4 block compress/decompress (analog of the software fallback path
+//     src/qatzip_sw.c:430-628, re-implemented from the LZ4 format spec)
+//   * LZ4s block compress/decode-to-sequences (analog of the QAT LZ4s output
+//     consumed by utils/qzstd.c:117-180)
+//   * lz4s -> zstd post-process bridge (ZSTD_compressSequences, analog of
+//     utils/qzstd.c:211-278)
+//   * DEFLATE static/dynamic-Huffman bit-packing from token arrays (host leg
+//     of the hybrid TPU pipeline; also the CPU reference for the on-device
+//     Pallas bitpacker)
+//
+// Exposed as a plain C ABI for ctypes. All functions are thread-safe and
+// GIL-free (no Python API usage).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+#define ZSTD_STATIC_LINKING_ONLY 1
+#include <zstd.h>
+#include <zstd_errors.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// XXH32
+// ---------------------------------------------------------------------------
+static inline uint32_t rotl32(uint32_t x, int r) {
+  return (x << r) | (x >> (32 - r));
+}
+
+static const uint32_t XP1 = 0x9E3779B1u, XP2 = 0x85EBCA77u, XP3 = 0xC2B2AE3Du,
+                      XP4 = 0x27D4EB2Fu, XP5 = 0x165667B1u;
+
+static inline uint32_t xread32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // little-endian hosts only (x86/ARM LE)
+}
+
+uint32_t qz_xxh32(const uint8_t* data, uint64_t len, uint32_t seed) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  uint32_t h;
+  if (len >= 16) {
+    uint32_t a1 = seed + XP1 + XP2, a2 = seed + XP2, a3 = seed, a4 = seed - XP1;
+    const uint8_t* limit = end - 16;
+    do {
+      a1 = rotl32(a1 + xread32(p) * XP2, 13) * XP1; p += 4;
+      a2 = rotl32(a2 + xread32(p) * XP2, 13) * XP1; p += 4;
+      a3 = rotl32(a3 + xread32(p) * XP2, 13) * XP1; p += 4;
+      a4 = rotl32(a4 + xread32(p) * XP2, 13) * XP1; p += 4;
+    } while (p <= limit);
+    h = rotl32(a1, 1) + rotl32(a2, 7) + rotl32(a3, 12) + rotl32(a4, 18);
+  } else {
+    h = seed + XP5;
+  }
+  h += (uint32_t)len;
+  while (p + 4 <= end) {
+    h = rotl32(h + xread32(p) * XP3, 17) * XP4;
+    p += 4;
+  }
+  while (p < end) {
+    h = rotl32(h + (*p) * XP5, 11) * XP1;
+    ++p;
+  }
+  h ^= h >> 15; h *= XP2; h ^= h >> 13; h *= XP3; h ^= h >> 16;
+  return h;
+}
+
+// ---------------------------------------------------------------------------
+// LZ4 block codec (format per the public LZ4 block spec)
+// ---------------------------------------------------------------------------
+static const int LZ4_MINMATCH = 4;
+static const int LZ4_MFLIMIT = 12;     // last match must start 12B before end
+static const int LZ4_LASTLITERALS = 5; // last 5 bytes always literals
+static const int LZ4_HASH_LOG = 14;
+
+static inline uint32_t lz4_hash(uint32_t v) {
+  return (v * 2654435761u) >> (32 - LZ4_HASH_LOG);
+}
+
+// Emit one sequence; returns new op or NULL on overflow.
+static uint8_t* lz4_emit(uint8_t* op, uint8_t* oend, const uint8_t* lit,
+                         size_t lit_len, size_t match_len_m4, uint16_t offset,
+                         bool has_match) {
+  // token + litlen extension
+  size_t need = 1 + lit_len / 255 + 1 + lit_len + (has_match ? 2 + 1 + match_len_m4 / 255 : 0);
+  if (op + need + 8 > oend) return nullptr;
+  uint8_t* tok = op++;
+  if (lit_len >= 15) {
+    *tok = (uint8_t)(15 << 4);
+    size_t r = lit_len - 15;
+    while (r >= 255) { *op++ = 255; r -= 255; }
+    *op++ = (uint8_t)r;
+  } else {
+    *tok = (uint8_t)(lit_len << 4);
+  }
+  std::memcpy(op, lit, lit_len);
+  op += lit_len;
+  if (has_match) {
+    op[0] = (uint8_t)(offset & 0xFF);
+    op[1] = (uint8_t)(offset >> 8);
+    op += 2;
+    if (match_len_m4 >= 15) {
+      *tok |= 15;
+      size_t r = match_len_m4 - 15;
+      while (r >= 255) { *op++ = 255; r -= 255; }
+      *op++ = (uint8_t)r;
+    } else {
+      *tok |= (uint8_t)match_len_m4;
+    }
+  }
+  return op;
+}
+
+// Greedy LZ4 block compressor. max_distance bounds offsets (the accelerated
+// path uses 32KB history, reference src/qatzip_utils.c:270). Returns
+// compressed size, or 0 if dst too small / incompressible beyond cap.
+int64_t qz_lz4_compress_block(const uint8_t* src, int64_t n, uint8_t* dst,
+                              int64_t cap, int32_t max_distance) {
+  if (n < 0 || cap <= 0) return -1;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + cap;
+  if (n == 0) {
+    if (cap < 1) return 0;
+    *op = 0;  // single empty-literal token
+    return 1;
+  }
+  uint16_t table[1 << LZ4_HASH_LOG];
+  std::memset(table, 0, sizeof(table));
+  // table stores pos+1 (0 = empty); works for blocks <= 64KB. For larger
+  // blocks use 32-bit table.
+  const bool small = n <= 65535;
+  uint32_t table32[1];  // placeholder to keep a single code path simple
+  (void)table32;
+  static thread_local uint32_t big_table[1 << LZ4_HASH_LOG];
+  if (!small) std::memset(big_table, 0xFF, sizeof(big_table));
+
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + n;
+  const uint8_t* anchor = src;
+  const uint8_t* mflimit = iend - LZ4_MFLIMIT;
+
+  if (n >= LZ4_MFLIMIT + 1) {
+    while (ip < mflimit) {
+      uint32_t seq = xread32(ip);
+      uint32_t h = lz4_hash(seq);
+      const uint8_t* match = nullptr;
+      if (small) {
+        uint16_t prev = table[h];
+        table[h] = (uint16_t)(ip - src + 1);
+        if (prev) match = src + prev - 1;
+      } else {
+        uint32_t prev = big_table[h];
+        big_table[h] = (uint32_t)(ip - src);
+        if (prev != 0xFFFFFFFFu) match = src + prev;
+      }
+      if (match && match < ip && (ip - match) <= max_distance &&
+          xread32(match) == seq) {
+        // extend forward
+        const uint8_t* m = match + LZ4_MINMATCH;
+        const uint8_t* i2 = ip + LZ4_MINMATCH;
+        const uint8_t* ilimit = iend - LZ4_LASTLITERALS;
+        while (i2 < ilimit && *i2 == *m) { ++i2; ++m; }
+        size_t mlen = (size_t)(i2 - ip);
+        uint16_t off = (uint16_t)(ip - match);
+        op = lz4_emit(op, oend, anchor, (size_t)(ip - anchor),
+                      mlen - LZ4_MINMATCH, off, true);
+        if (!op) return 0;
+        ip = i2;
+        anchor = ip;
+      } else {
+        ++ip;
+      }
+    }
+  }
+  // final literals
+  size_t lastlit = (size_t)(iend - anchor);
+  size_t need = 1 + lastlit / 255 + 1 + lastlit;
+  if (op + need > oend) return 0;
+  uint8_t* tok = op++;
+  if (lastlit >= 15) {
+    *tok = (uint8_t)(15 << 4);
+    size_t r = lastlit - 15;
+    while (r >= 255) { *op++ = 255; r -= 255; }
+    *op++ = (uint8_t)r;
+  } else {
+    *tok = (uint8_t)(lastlit << 4);
+  }
+  std::memcpy(op, anchor, lastlit);
+  op += lastlit;
+  return (int64_t)(op - dst);
+}
+
+// LZ4 block decompressor with full bounds checking. Returns decompressed
+// size, or -1 on malformed input.
+int64_t qz_lz4_decompress_block(const uint8_t* src, int64_t n, uint8_t* dst,
+                                int64_t cap) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + n;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + cap;
+  while (ip < iend) {
+    uint32_t token = *ip++;
+    // literals
+    size_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t s;
+      do {
+        if (ip >= iend) return -1;
+        s = *ip++;
+        lit += s;
+      } while (s == 255);
+    }
+    if (ip + lit > iend || op + lit > oend) return -1;
+    std::memcpy(op, ip, lit);
+    ip += lit;
+    op += lit;
+    if (ip >= iend) break;  // last sequence has no match
+    // match
+    if (ip + 2 > iend) return -1;
+    uint32_t offset = ip[0] | ((uint32_t)ip[1] << 8);
+    ip += 2;
+    if (offset == 0 || (int64_t)offset > op - dst) return -1;
+    size_t mlen = token & 15;
+    if (mlen == 15) {
+      uint8_t s;
+      do {
+        if (ip >= iend) return -1;
+        s = *ip++;
+        mlen += s;
+      } while (s == 255);
+    }
+    mlen += LZ4_MINMATCH;
+    if (op + mlen > oend) return -1;
+    const uint8_t* m = op - offset;
+    for (size_t k = 0; k < mlen; ++k) op[k] = m[k];  // overlap-safe
+    op += mlen;
+  }
+  return (int64_t)(op - dst);
+}
+
+// ---------------------------------------------------------------------------
+// LZ4s block codec
+//
+// Token format observed by utils/qzstd.c:117-180: LZ4-style token, but the
+// stored match length is (len - (mini_match - 1)) and 0 means "no match"
+// (a literal-only sequence that still carries a 2-byte offset field unless
+// it terminates the block).
+// ---------------------------------------------------------------------------
+int64_t qz_lz4s_compress_block(const uint8_t* src, int64_t n, uint8_t* dst,
+                               int64_t cap, int32_t mini_match,
+                               int32_t max_distance) {
+  if (mini_match != 3 && mini_match != 4) return -1;
+  const uint32_t min_stored_base = (uint32_t)(mini_match - 1);
+  uint8_t* op = dst;
+  uint8_t* oend = dst + cap;
+  if (n == 0) {
+    if (cap < 1) return 0;
+    *op = 0;
+    return 1;
+  }
+  uint16_t table[1 << LZ4_HASH_LOG];
+  std::memset(table, 0, sizeof(table));
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + n;
+  const uint8_t* anchor = src;
+  const uint8_t* mflimit = (n > LZ4_MFLIMIT) ? iend - LZ4_MFLIMIT : src;
+
+  while (ip < mflimit) {
+    uint32_t seq = xread32(ip);
+    uint32_t h = lz4_hash(seq);
+    uint16_t prev = table[h];
+    table[h] = (uint16_t)(ip - src + 1);
+    const uint8_t* match = prev ? src + prev - 1 : nullptr;
+    bool ok = false;
+    size_t mlen = 0;
+    if (match && match < ip && (ip - match) <= max_distance) {
+      // need at least mini_match equal bytes
+      if (mini_match == 4) {
+        ok = xread32(match) == seq;
+        mlen = 4;
+      } else {
+        ok = (match[0] == ip[0] && match[1] == ip[1] && match[2] == ip[2]);
+        mlen = 3;
+      }
+    }
+    if (ok) {
+      const uint8_t* m = match + mlen;
+      const uint8_t* i2 = ip + mlen;
+      const uint8_t* ilimit = iend - LZ4_LASTLITERALS;
+      while (i2 < ilimit && *i2 == *m) { ++i2; ++m; }
+      mlen = (size_t)(i2 - ip);
+      size_t lit = (size_t)(ip - anchor);
+      size_t stored = mlen - min_stored_base;
+      size_t need = 1 + lit / 255 + 1 + lit + 2 + 1 + stored / 255;
+      if (op + need + 8 > oend) return 0;
+      uint8_t* tok = op++;
+      if (lit >= 15) {
+        *tok = (uint8_t)(15 << 4);
+        size_t r = lit - 15;
+        while (r >= 255) { *op++ = 255; r -= 255; }
+        *op++ = (uint8_t)r;
+      } else {
+        *tok = (uint8_t)(lit << 4);
+      }
+      std::memcpy(op, anchor, lit);
+      op += lit;
+      uint16_t off = (uint16_t)(ip - match);
+      op[0] = (uint8_t)(off & 0xFF);
+      op[1] = (uint8_t)(off >> 8);
+      op += 2;
+      if (stored >= 15) {
+        *tok |= 15;
+        size_t r = stored - 15;
+        while (r >= 255) { *op++ = 255; r -= 255; }
+        *op++ = (uint8_t)r;
+      } else {
+        *tok |= (uint8_t)stored;
+      }
+      ip += mlen;
+      anchor = ip;
+    } else {
+      ++ip;
+    }
+  }
+  // trailing literal-only sequence (no offset — terminates block)
+  size_t lastlit = (size_t)(iend - anchor);
+  size_t need = 1 + lastlit / 255 + 1 + lastlit;
+  if (op + need > oend) return 0;
+  uint8_t* tok = op++;
+  if (lastlit >= 15) {
+    *tok = (uint8_t)(15 << 4);
+    size_t r = lastlit - 15;
+    while (r >= 255) { *op++ = 255; r -= 255; }
+    *op++ = (uint8_t)r;
+  } else {
+    *tok = (uint8_t)(lastlit << 4);
+  }
+  std::memcpy(op, anchor, lastlit);
+  op += lastlit;
+  return (int64_t)(op - dst);
+}
+
+// Decode an LZ4s block into (litlen, matchlen, offset) triples. Mirrors
+// decLz4Block (utils/qzstd.c:117-180) including the litLength accumulation
+// across matchless sequences. Returns the number of triples written, with
+// the final triple potentially match-less (matchlen 0). Returns -1 on
+// malformed input or overflow of the output arrays.
+int64_t qz_lz4s_decode_block(const uint8_t* src, int64_t n,
+                             int32_t mini_match, uint32_t* litlens,
+                             uint32_t* matchlens, uint32_t* offsets,
+                             int64_t seq_cap) {
+  const uint32_t add = (uint32_t)(mini_match - 1);
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + n;
+  int64_t ns = 0;
+  uint32_t pend_lit = 0;
+  while (ip < iend) {
+    uint32_t token = *ip++;
+    size_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t s;
+      do {
+        if (ip >= iend) return -1;
+        s = *ip++;
+        lit += s;
+      } while (s == 255);
+    }
+    if (ip + lit > iend) return -1;
+    pend_lit += (uint32_t)lit;
+    ip += lit;
+    if (ip >= iend) break;  // block ends with literals
+    if (ip + 2 > iend) return -1;
+    uint32_t off = ip[0] | ((uint32_t)ip[1] << 8);
+    ip += 2;
+    size_t ml = token & 15;
+    if (ml == 15) {
+      uint8_t s;
+      do {
+        if (ip >= iend) return -1;
+        s = *ip++;
+        ml += s;
+      } while (s == 255);
+    }
+    if (ml != 0) {
+      if (ns >= seq_cap) return -1;
+      litlens[ns] = pend_lit;
+      matchlens[ns] = (uint32_t)ml + add;
+      offsets[ns] = off;
+      ++ns;
+      pend_lit = 0;
+    }
+    // ml == 0: literal-only sequence; literals accumulate into the next
+  }
+  // trailing literals entry (also used as zstd block delimiter)
+  if (ns >= seq_cap) return -1;
+  litlens[ns] = pend_lit;
+  matchlens[ns] = 0;
+  offsets[ns] = 0;
+  ++ns;
+  return ns;
+}
+
+// ---------------------------------------------------------------------------
+// lz4s -> zstd post-process (analog of zstdCallBack, utils/qzstd.c:211-278)
+//
+// lz4s_buf holds [blk_size:u32][lz4s payload]* as produced by the LZ4S
+// session; src is the original uncompressed input. Emits standard zstd
+// frames into out. Returns bytes written or negative zstd error.
+// ---------------------------------------------------------------------------
+int64_t qz_zstd_post_process(const uint8_t* src, int64_t src_len,
+                             const uint8_t* lz4s_buf, int64_t lz4s_len,
+                             int32_t mini_match, uint8_t* out,
+                             int64_t out_cap, int32_t level) {
+  ZSTD_CCtx* zc = ZSTD_createCCtx();
+  if (!zc) return -1000;
+  ZSTD_CCtx_setParameter(zc, ZSTD_c_blockDelimiters,
+                         ZSTD_sf_explicitBlockDelimiters);
+  if (level > 0) ZSTD_CCtx_setParameter(zc, ZSTD_c_compressionLevel, level);
+
+  const int64_t SEQ_CAP = 1 << 17;
+  ZSTD_Sequence* seqs =
+      (ZSTD_Sequence*)std::malloc(sizeof(ZSTD_Sequence) * SEQ_CAP);
+  uint32_t* ll = (uint32_t*)std::malloc(4 * SEQ_CAP);
+  uint32_t* mm = (uint32_t*)std::malloc(4 * SEQ_CAP);
+  uint32_t* oo = (uint32_t*)std::malloc(4 * SEQ_CAP);
+  if (!seqs || !ll || !mm || !oo) {
+    std::free(seqs); std::free(ll); std::free(mm); std::free(oo);
+    ZSTD_freeCCtx(zc);
+    return -1001;
+  }
+
+  int64_t produced = 0, consumed = 0, pos = 0, rc = 0;
+  while (pos + 4 <= lz4s_len) {
+    uint32_t blk;
+    std::memcpy(&blk, lz4s_buf + pos, 4);
+    pos += 4;
+    if (pos + blk > (uint64_t)lz4s_len) { rc = -1002; goto done; }
+    int64_t ns = qz_lz4s_decode_block(lz4s_buf + pos, blk, mini_match, ll, mm,
+                                      oo, SEQ_CAP);
+    if (ns < 0) { rc = -1003; goto done; }
+    pos += blk;
+    uint64_t cnt = 0;
+    for (int64_t i = 0; i < ns; ++i) {
+      seqs[i].offset = oo[i];
+      seqs[i].litLength = ll[i];
+      seqs[i].matchLength = mm[i];
+      seqs[i].rep = 0;
+      cnt += ll[i] + mm[i];
+    }
+    if (consumed + (int64_t)cnt > src_len) { rc = -1004; goto done; }
+    size_t bound = ZSTD_compressBound(cnt);
+    if (produced + (int64_t)bound > out_cap) { rc = -1005; goto done; }
+    size_t csz = ZSTD_compressSequences(zc, out + produced, bound, seqs,
+                                        (size_t)ns, src + consumed, cnt);
+    if (ZSTD_isError(csz)) { rc = -(int64_t)ZSTD_getErrorCode(csz) - 2000; goto done; }
+    produced += (int64_t)csz;
+    consumed += (int64_t)cnt;
+  }
+  rc = produced;
+done:
+  std::free(seqs); std::free(ll); std::free(mm); std::free(oo);
+  ZSTD_freeCCtx(zc);
+  return rc;
+}
+
+// Plain zstd helpers for the qzstd CLI small-input path + decompression.
+int64_t qz_zstd_compress(const uint8_t* src, int64_t n, uint8_t* dst,
+                         int64_t cap, int32_t level) {
+  size_t r = ZSTD_compress(dst, cap, src, n, level);
+  if (ZSTD_isError(r)) return -(int64_t)ZSTD_getErrorCode(r) - 2000;
+  return (int64_t)r;
+}
+
+int64_t qz_zstd_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
+                           int64_t cap) {
+  size_t r = ZSTD_decompress(dst, cap, src, n);
+  if (ZSTD_isError(r)) return -(int64_t)ZSTD_getErrorCode(r) - 2000;
+  return (int64_t)r;
+}
+
+uint64_t qz_zstd_compress_bound(uint64_t n) { return ZSTD_compressBound(n); }
+
+// ---------------------------------------------------------------------------
+// DEFLATE static-Huffman bit packing from token arrays.
+//
+// Tokens: for i in [0, ntok): if len[i] == 0 emit literal lit[i], else emit
+// match (len[i] in [3,258], dist[i] in [1,32768]). Emits one deflate block
+// with BFINAL=final, BTYPE=01 (static). Returns bytes written (block is
+// byte-padded only when pad!=0) or -1 on overflow. bit_offset allows
+// continuing a partial byte from a previous call (pass the returned
+// bit position).
+// ---------------------------------------------------------------------------
+struct BitWriter {
+  uint8_t* dst;
+  int64_t cap;
+  int64_t bitpos;
+  bool overflow;
+  void put(uint32_t value, int nbits) {
+    if (overflow) return;
+    int64_t byte = bitpos >> 3;
+    int shift = (int)(bitpos & 7);
+    if (byte + 8 > cap) { overflow = true; return; }
+    uint64_t cur = (uint64_t)value << shift;
+    // OR into up to 5 bytes
+    for (int k = 0; k < 5 && cur; ++k) {
+      dst[byte + k] |= (uint8_t)(cur & 0xFF);
+      cur >>= 8;
+    }
+    bitpos += nbits;
+  }
+};
+
+static inline uint32_t bitrev(uint32_t v, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; ++i) { r = (r << 1) | (v & 1); v >>= 1; }
+  return r;
+}
+
+// length code tables (RFC1951 §3.2.5)
+static const uint16_t LEN_BASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
+                                      35,43,51,59,67,83,99,115,131,163,195,227,258};
+static const uint8_t LEN_EXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,
+                                      3,3,3,3,4,4,4,4,5,5,5,5,0};
+static const uint32_t DIST_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,
+                                       257,385,513,769,1025,1537,2049,3073,4097,6145,
+                                       8193,12289,16385,24577};
+static const uint8_t DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,
+                                       7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+
+static int len_code_lut[259];
+static int dist_code_lut_hi[512];  // for dist > 256: index (dist-1)>>7
+static int dist_code_lut_lo[257];  // for dist <= 256
+static bool luts_init = false;
+
+static void init_luts() {
+  for (int c = 0; c < 29; ++c) {
+    int hi = (c == 28) ? 258 : LEN_BASE[c + 1] - 1;
+    for (int l = LEN_BASE[c]; l <= hi && l <= 258; ++l) len_code_lut[l] = c;
+  }
+  len_code_lut[258] = 28;
+  for (int c = 0; c < 30; ++c) {
+    int hi = (c == 29) ? 32768 : (int)DIST_BASE[c + 1] - 1;
+    for (int d = (int)DIST_BASE[c]; d <= hi && d <= 32768; ++d) {
+      if (d <= 256) dist_code_lut_lo[d] = c;
+      else {
+        int idx = (d - 1) >> 7;
+        if (idx < 512) dist_code_lut_hi[idx] = c;
+      }
+    }
+  }
+  luts_init = true;
+}
+
+static inline int dist_code(int d) {
+  return d <= 256 ? dist_code_lut_lo[d] : dist_code_lut_hi[(d - 1) >> 7];
+}
+
+// static literal/length Huffman code (RFC1951 §3.2.6), bit-reversed for the
+// LSB-first bitstream.
+static inline void static_lit_code(int sym, uint32_t* code, int* nbits) {
+  if (sym <= 143) { *code = bitrev(0x30 + sym, 8); *nbits = 8; }
+  else if (sym <= 255) { *code = bitrev(0x190 + (sym - 144), 9); *nbits = 9; }
+  else if (sym <= 279) { *code = bitrev(sym - 256, 7); *nbits = 7; }
+  else { *code = bitrev(0xC0 + (sym - 280), 8); *nbits = 8; }
+}
+
+int64_t qz_deflate_static_block(const uint8_t* lits, const uint16_t* lens,
+                                const uint16_t* dists, int64_t ntok,
+                                uint8_t* dst, int64_t cap, int64_t bitpos,
+                                int32_t final_block, int64_t* out_bitpos) {
+  if (!luts_init) init_luts();
+  BitWriter bw{dst, cap, bitpos, false};
+  bw.put(final_block ? 1u : 0u, 1);
+  bw.put(1u, 2);  // BTYPE=01 static
+  for (int64_t i = 0; i < ntok; ++i) {
+    if (lens[i] == 0) {
+      uint32_t code; int nb;
+      static_lit_code(lits[i], &code, &nb);
+      bw.put(code, nb);
+    } else {
+      int len = lens[i];
+      int lc = len_code_lut[len];
+      uint32_t code; int nb;
+      static_lit_code(257 + lc, &code, &nb);
+      bw.put(code, nb);
+      if (LEN_EXTRA[lc]) bw.put((uint32_t)(len - LEN_BASE[lc]), LEN_EXTRA[lc]);
+      int d = dists[i];
+      int dc = dist_code(d);
+      bw.put(bitrev((uint32_t)dc, 5), 5);
+      if (DIST_EXTRA[dc]) bw.put((uint32_t)(d - DIST_BASE[dc]), DIST_EXTRA[dc]);
+    }
+  }
+  // end-of-block (symbol 256)
+  {
+    uint32_t code; int nb;
+    static_lit_code(256, &code, &nb);
+    bw.put(code, nb);
+  }
+  if (bw.overflow) return -1;
+  *out_bitpos = bw.bitpos;
+  return (bw.bitpos + 7) >> 3;
+}
+
+}  // extern "C"

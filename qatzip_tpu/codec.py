@@ -1,0 +1,255 @@
+"""Compress/decompress dispatch — chunk fan-out, ordered stitch, crc combine.
+
+Parity reference: the L3 hot-path drivers in ``src/qatzip.c``:
+  * qzCompressCrcExt (:2029-2255) — SW gating, chunking by hw_buff_sz,
+    submit/poll, per-chunk header/footer, crc32_combine, lz4s callback
+  * qzDecompressExt (:2819-2997) — checkHeader member walk, per-member
+    decode, footer checksum/ISIZE verification, ordered stitch
+
+The TPU analog of the submit/poll thread pair is the engine batch call:
+all chunks go to the device as one batched XLA dispatch; results come back
+in order (sequence order == batch order), so the "ordered retirement by seq
+number" invariant is structural rather than enforced by polling.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+from .constants import (
+    DataFormat, QZ_OK, QZ_DATA_ERROR, QZ_AUTO_SELECT_BEST, QzError,
+)
+from .formats import (
+    check_header, scan_members, output_header_gen, output_footer_gen,
+    lz4_frame_header, lz4_frame_footer, parse_lz4_frame_header,
+    walk_lz4_blocks, lz4s_block_header,
+)
+from .formats.gzip_format import MemberInfo
+from .ops import crc32, crc32_combine, adler32, adler32_combine, xxh32
+from .sw import codec as swc
+from .engines import host_engine
+from .utils.debug import get_counters
+
+
+def _split_chunks(data: bytes, hw_buff_sz: int) -> List[bytes]:
+    if not data:
+        return [b""]
+    return [data[o:o + hw_buff_sz] for o in range(0, len(data), hw_buff_sz)]
+
+
+# ---------------------------------------------------------------------------
+# Compress
+# ---------------------------------------------------------------------------
+
+def compress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
+                    level: int, hw_buff_sz: int, engine=None,
+                    sw_backup: int = 1, input_sz_thrshold: int = 1024,
+                    mini_match: int = 3, huffman_static: bool = False,
+                    last: bool = True) -> Tuple[bytes, int]:
+    """Compress one request. Returns (framed output, crc32 of input).
+
+    ``engine=None`` or small input routes software — the reference's gate
+    (src/qatzip.c:2098-2116).
+    """
+    counters = get_counters()
+    use_engine = engine is not None and len(data) >= input_sz_thrshold
+
+    if not use_engine:
+        counters.bump("sw_compress", 1, len(data))
+        if algorithm == "deflate":
+            return swc.sw_compress(data, data_fmt, level, hw_buff_sz)
+        if algorithm == "lz4":
+            return swc.sw_compress(data, DataFormat.LZ4, level, hw_buff_sz)
+        if algorithm == "lz4s":
+            return swc.sw_compress(data, DataFormat.LZ4S, level, hw_buff_sz,
+                                   mini_match=mini_match)
+        raise QzError(QZ_DATA_ERROR, f"unknown algorithm {algorithm}")
+
+    counters.bump("hw_compress", 1, len(data))
+    out, crc = _engine_compress(data, algorithm=algorithm, data_fmt=data_fmt,
+                                level=level, hw_buff_sz=hw_buff_sz,
+                                engine=engine, mini_match=mini_match,
+                                huffman_static=huffman_static)
+    if sw_backup == QZ_AUTO_SELECT_BEST:
+        # QZ_AUTO_SELECT_BEST (include/qatzip.h:606-621): take the smaller
+        # of the accelerated and software outputs.
+        sw_out, sw_crc = swc.sw_compress(
+            data,
+            data_fmt if algorithm == "deflate"
+            else (DataFormat.LZ4 if algorithm == "lz4" else DataFormat.LZ4S),
+            level, hw_buff_sz)
+        if len(sw_out) < len(out):
+            return sw_out, sw_crc
+    return out, crc
+
+
+def _engine_compress(data: bytes, *, algorithm: str, data_fmt: DataFormat,
+                     level: int, hw_buff_sz: int, engine, mini_match: int,
+                     huffman_static: bool) -> Tuple[bytes, int]:
+    if algorithm in ("lz4", "lz4s"):
+        hw_buff_sz = min(hw_buff_sz, 64 * 1024)  # LZ4 max block 64KB (BD=4)
+    chunks = _split_chunks(data, hw_buff_sz)
+
+    if algorithm == "deflate" and data_fmt in (DataFormat.DEFLATE_RAW,
+                                               DataFormat.ZLIB):
+        finals = [False] * (len(chunks) - 1) + [True]
+        results = engine.compress_chunks(chunks, level=level,
+                                         algorithm="deflate",
+                                         final_flags=finals,
+                                         huffman_static=huffman_static)
+        body = b"".join(p for p, _ in results)
+        total_crc = 0
+        for (p, c), ch in zip(results, chunks):
+            total_crc = crc32_combine(total_crc, c, len(ch))
+        if data_fmt == DataFormat.ZLIB:
+            ad = 1
+            for ch in chunks:
+                ad = adler32_combine(ad, adler32(ch), len(ch))
+            return (b"\x78\x9c" + body + struct.pack(">I", ad)), total_crc
+        return body, total_crc
+
+    if algorithm == "deflate":
+        results = engine.compress_chunks(chunks, level=level,
+                                         algorithm="deflate",
+                                         huffman_static=huffman_static)
+        parts: List[bytes] = []
+        total_crc = 0
+        for (payload, ccrc), chunk in zip(results, chunks):
+            parts.append(output_header_gen(data_fmt, len(chunk), len(payload)))
+            parts.append(payload)
+            parts.append(output_footer_gen(data_fmt, ccrc, len(chunk)))
+            total_crc = crc32_combine(total_crc, ccrc, len(chunk))
+        return b"".join(parts), total_crc
+
+    if algorithm == "lz4":
+        results = engine.compress_chunks(chunks, level=level, algorithm="lz4")
+        parts = [lz4_frame_header(len(data))]
+        total_crc = 0
+        for (payload, ccrc), chunk in zip(results, chunks):
+            if len(payload) >= len(chunk) and chunk:
+                parts.append(struct.pack("<I", len(chunk) | 0x80000000))
+                parts.append(chunk)
+            else:
+                parts.append(struct.pack("<I", len(payload)))
+                parts.append(payload)
+            total_crc = crc32_combine(total_crc, ccrc, len(chunk))
+        parts.append(lz4_frame_footer(xxh32(data)))
+        return b"".join(parts), total_crc
+
+    if algorithm == "lz4s":
+        results = engine.compress_chunks(chunks, level=level,
+                                         algorithm="lz4s",
+                                         mini_match=mini_match)
+        parts = []
+        total_crc = 0
+        for (payload, ccrc), chunk in zip(results, chunks):
+            parts.append(lz4s_block_header(len(payload)))
+            parts.append(payload)
+            total_crc = crc32_combine(total_crc, ccrc, len(chunk))
+        return b"".join(parts), total_crc
+
+    raise QzError(QZ_DATA_ERROR, f"unknown algorithm {algorithm}")
+
+
+# ---------------------------------------------------------------------------
+# Decompress
+# ---------------------------------------------------------------------------
+
+def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
+                      engine=None, verify: bool = True,
+                      max_out: Optional[int] = None,
+                      ) -> Tuple[bytes, int, int]:
+    """Decompress one request. Returns (out, consumed, crc32(out)).
+
+    Walks member framing (checkHeader analog) and decodes members as an
+    ordered batch; any framing the fast path can't parse routes to the
+    software multi-member loop — the reference's isQATProcessable gate
+    (src/qatzip.c:2886-2899).
+    """
+    counters = get_counters()
+    if algorithm == "lz4":
+        return _decompress_lz4(data, engine)
+    if algorithm == "lz4s":
+        raise QzError(QZ_DATA_ERROR, "LZ4S decode is a post-process input")
+
+    if data_fmt in (DataFormat.DEFLATE_RAW, DataFormat.ZLIB):
+        counters.bump("sw_decompress", 1, len(data))
+        return swc.sw_decompress_multi(data, data_fmt, max_out)
+
+    members = scan_members(data, data_fmt)
+    if not members:
+        counters.bump("sw_decompress", 1, len(data))
+        return swc.sw_decompress_multi(data, data_fmt, max_out)
+
+    payloads = [bytes(memoryview(data)[m.payload_off:
+                                       m.payload_off + m.payload_sz])
+                for m in members]
+    sizes = [m.uncompressed_sz for m in members]
+    eng = engine or host_engine
+    try:
+        pieces = (eng.decompress_chunks(payloads, sizes, algorithm="deflate")
+                  if hasattr(eng, "decompress_chunks")
+                  else host_engine.decompress_chunks(payloads, sizes,
+                                                     algorithm="deflate"))
+    except QzError:
+        counters.bump("sw_decompress_fallback", 1, len(data))
+        return swc.sw_decompress_multi(data, data_fmt, max_out)
+
+    # Footer verification — reference doDecompressOut checks
+    # resl->checksum == footer.crc32 && produced == ISIZE (:2713-2732).
+    if verify:
+        for m, piece in zip(members, pieces):
+            if m.crc32 is not None and crc32(piece) != m.crc32:
+                raise QzError(QZ_DATA_ERROR, "member crc32 mismatch")
+            if m.uncompressed_sz >= 0 and len(piece) != m.uncompressed_sz:
+                raise QzError(QZ_DATA_ERROR, "member ISIZE mismatch")
+
+    out = b"".join(pieces)
+    consumed = members[-1].offset + members[-1].total_sz
+    return out, consumed, crc32(out)
+
+
+def _decompress_lz4(data: bytes, engine=None) -> Tuple[bytes, int, int]:
+    """LZ4 frame decompress via block batch (falls back to SW walker)."""
+    info = parse_lz4_frame_header(data, 0)
+    if info is None:
+        return swc.sw_decompress_multi(data, DataFormat.LZ4, None)
+    walked = walk_lz4_blocks(data, 0, len(data), info.header_sz)
+    if walked is None or info.has_block_checksum:
+        return swc.sw_decompress_multi(data, DataFormat.LZ4, None)
+    blocks, footer_off = walked
+    max_block = 1 << (8 + 2 * max(4, (info.bd >> 4) & 7))
+    payloads, sizes, stored_chunks = [], [], {}
+    for i, (off, sz, stored) in enumerate(blocks):
+        if stored:
+            stored_chunks[i] = bytes(memoryview(data)[off:off + sz])
+        else:
+            payloads.append(bytes(memoryview(data)[off:off + sz]))
+            sizes.append(max_block)
+    eng = engine or host_engine
+    decoded = eng.decompress_chunks(payloads, sizes, algorithm="lz4")
+    pieces: List[bytes] = []
+    di = 0
+    for i in range(len(blocks)):
+        if i in stored_chunks:
+            pieces.append(stored_chunks[i])
+        else:
+            pieces.append(decoded[di])
+            di += 1
+    out = b"".join(pieces)
+    consumed = footer_off + 4
+    if info.has_content_checksum:
+        (want,) = struct.unpack_from("<I", data, consumed)
+        if xxh32(out) != want:
+            raise QzError(QZ_DATA_ERROR, "LZ4 content checksum mismatch")
+        consumed += 4
+    if info.content_size is not None and info.content_size != len(out):
+        raise QzError(QZ_DATA_ERROR, "LZ4 content size mismatch")
+    # concatenated frames: recurse on the remainder
+    if consumed < len(data):
+        rest, more, _ = _decompress_lz4(data[consumed:], engine)
+        if more:
+            out += rest
+            consumed += more
+    return out, consumed, crc32(out)

@@ -1,0 +1,116 @@
+"""Compression engines: the uniform chunk-batch interface.
+
+The dispatch layer (codec.py) fans a request into hw_buff_sz chunks and
+hands the whole batch to an engine — the analog of the reference's
+submit/poll hot loops (doCompressIn/doCompressOut, src/qatzip.c:1336-1887)
+where a request becomes a sequence-numbered batch of device operations and
+completions are stitched in order.
+
+Engines:
+  * HostEngine — multithreaded zlib/native-LZ4 (the SW instance pool)
+  * TPU engine — built by qatzip_tpu.parallel.dispatch (batched XLA kernels)
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import os
+import threading
+import zlib
+from typing import List, Optional, Sequence, Tuple
+
+from .constants import DataFormat, effective_deflate_sw_level
+from .ops import crc32
+from .sw.codec import deflate_raw_compress, inflate_raw
+
+
+class ChunkResult(tuple):
+    """(payload: bytes, crc32: int) per chunk."""
+    __slots__ = ()
+
+
+_pool_lock = threading.Lock()
+_pool: Optional[_fut.ThreadPoolExecutor] = None
+
+
+def host_pool() -> _fut.ThreadPoolExecutor:
+    """Shared worker pool — the SW 'instance ring'. zlib and the native
+    LZ4 codecs release the GIL, so threads scale across cores the way the
+    reference's N-process × M-thread perf harness does."""
+    global _pool
+    with _pool_lock:
+        if _pool is None:
+            _pool = _fut.ThreadPoolExecutor(
+                max_workers=max(4, (os.cpu_count() or 8)))
+        return _pool
+
+
+class HostEngine:
+    """Software chunk engine (qatzip_sw.c as a batch service)."""
+
+    name = "host"
+
+    def compress_chunks(self, chunks: Sequence[bytes], *, level: int,
+                        algorithm: str = "deflate",
+                        final_flags: Optional[Sequence[bool]] = None,
+                        mini_match: int = 3,
+                        huffman_static: bool = False,
+                        ) -> List[Tuple[bytes, int]]:
+        """Compress each chunk to an independent raw payload + its crc32.
+
+        For deflate, each chunk is a complete raw stream (BFINAL set) when
+        its final flag is true, else a full-flushed non-final segment —
+        matching the reference's FLUSH_FULL/FLUSH_FINAL per-chunk policy
+        (src/qatzip.c:1384-1394).
+        """
+        zlevel = effective_deflate_sw_level(level)
+        finals = final_flags or [True] * len(chunks)
+
+        def one(args):
+            chunk, final = args
+            if algorithm == "deflate":
+                if final:
+                    payload = deflate_raw_compress(chunk, zlevel)
+                else:
+                    co = zlib.compressobj(zlevel, zlib.DEFLATED, -15)
+                    payload = co.compress(chunk) + co.flush(zlib.Z_FULL_FLUSH)
+                return payload, crc32(chunk)
+            if algorithm == "lz4":
+                from .sw.codec import _lz4_block_compress
+                return _lz4_block_compress(chunk), crc32(chunk)
+            if algorithm == "lz4s":
+                from . import native
+                if native.lib is not None:
+                    payload = native.lib.lz4s_compress_block(chunk, mini_match)
+                else:
+                    from .sw.lz4_py import lz4s_compress_block_py
+                    payload = lz4s_compress_block_py(chunk, mini_match)
+                return payload, crc32(chunk)
+            raise ValueError(algorithm)
+
+        items = list(zip(chunks, finals))
+        if len(items) <= 1:
+            return [one(a) for a in items]
+        return list(host_pool().map(one, items))
+
+    def decompress_chunks(self, payloads: Sequence[bytes],
+                          expected_sizes: Sequence[int], *,
+                          algorithm: str = "deflate") -> List[bytes]:
+        """Decode independent raw payloads (ordered retirement is the
+        caller's list order — the seq-number stitch of doDecompressOut)."""
+        def one(args):
+            payload, sz = args
+            if algorithm == "deflate":
+                return inflate_raw(payload, sz if sz >= 0 else None)
+            if algorithm == "lz4":
+                from .sw.codec import _lz4_block_decompress
+                return _lz4_block_decompress(payload, sz)
+            raise ValueError(algorithm)
+
+        items = list(zip(payloads, expected_sizes))
+        if len(items) <= 1:
+            return [one(a) for a in items]
+        return list(host_pool().map(one, items))
+
+
+host_engine = HostEngine()

@@ -1,0 +1,235 @@
+"""ctypes bindings to the native host runtime (csrc/qztpu_native.cpp).
+
+Auto-builds the shared library with g++ on first import when it is missing
+or stale. Every caller must tolerate ``lib is None`` (pure-Python fallback),
+mirroring the reference's hardware-absent SW-fallback philosophy
+(src/qatzip_sw.c is a first-class path, not an afterthought).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "..", "csrc", "qztpu_native.cpp")
+_SO = os.path.join(_DIR, "_qztpu_native.so")
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+def _build() -> bool:
+    try:
+        cmd = [
+            "g++", "-O3", "-fPIC", "-std=c++17", "-march=native", "-shared",
+            "-o", _SO, _SRC, "-lzstd",
+        ]
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
+        if res.returncode != 0:
+            sys.stderr.write("qztpu_native build failed:\n" + res.stderr + "\n")
+            return False
+        return True
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"qztpu_native build error: {e}\n")
+        return False
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    try:
+        return os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+    except OSError:
+        return False
+
+
+class _NativeLib:
+    """Typed wrappers over the C ABI."""
+
+    def __init__(self, cdll: ctypes.CDLL):
+        self._lib = cdll
+        L = cdll
+        L.qz_xxh32.restype = ctypes.c_uint32
+        L.qz_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                               ctypes.c_uint32]
+        for name in ("qz_lz4_compress_block",):
+            fn = getattr(L, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [_u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
+                           ctypes.c_int32]
+        L.qz_lz4_decompress_block.restype = ctypes.c_int64
+        L.qz_lz4_decompress_block.argtypes = [_u8p, ctypes.c_int64, _u8p,
+                                              ctypes.c_int64]
+        L.qz_lz4s_compress_block.restype = ctypes.c_int64
+        L.qz_lz4s_compress_block.argtypes = [_u8p, ctypes.c_int64, _u8p,
+                                             ctypes.c_int64, ctypes.c_int32,
+                                             ctypes.c_int32]
+        L.qz_lz4s_decode_block.restype = ctypes.c_int64
+        L.qz_lz4s_decode_block.argtypes = [_u8p, ctypes.c_int64,
+                                           ctypes.c_int32, _u32p, _u32p,
+                                           _u32p, ctypes.c_int64]
+        L.qz_zstd_post_process.restype = ctypes.c_int64
+        L.qz_zstd_post_process.argtypes = [_u8p, ctypes.c_int64, _u8p,
+                                           ctypes.c_int64, ctypes.c_int32,
+                                           _u8p, ctypes.c_int64,
+                                           ctypes.c_int32]
+        L.qz_zstd_compress.restype = ctypes.c_int64
+        L.qz_zstd_compress.argtypes = [_u8p, ctypes.c_int64, _u8p,
+                                       ctypes.c_int64, ctypes.c_int32]
+        L.qz_zstd_decompress.restype = ctypes.c_int64
+        L.qz_zstd_decompress.argtypes = [_u8p, ctypes.c_int64, _u8p,
+                                         ctypes.c_int64]
+        L.qz_zstd_compress_bound.restype = ctypes.c_uint64
+        L.qz_zstd_compress_bound.argtypes = [ctypes.c_uint64]
+        L.qz_deflate_static_block.restype = ctypes.c_int64
+        L.qz_deflate_static_block.argtypes = [
+            _u8p, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, _u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, _i64p]
+
+    # -- helpers -----------------------------------------------------------
+    @staticmethod
+    def _as_u8p(arr: np.ndarray):
+        return arr.ctypes.data_as(_u8p)
+
+    def xxh32(self, data: bytes, seed: int = 0) -> int:
+        return self._lib.qz_xxh32(data, len(data), seed & 0xFFFFFFFF)
+
+    def lz4_compress_block(self, src: bytes, max_distance: int = 65535) -> bytes:
+        n = len(src)
+        cap = n + n // 255 + 64
+        dst = np.empty(cap, np.uint8)
+        sa = np.frombuffer(src, np.uint8) if n else np.empty(0, np.uint8)
+        r = self._lib.qz_lz4_compress_block(
+            self._as_u8p(sa), n, self._as_u8p(dst), cap, max_distance)
+        if r <= 0:
+            raise RuntimeError(f"lz4 compress failed rc={r}")
+        return dst[:r].tobytes()
+
+    def lz4_decompress_block(self, src: bytes, out_cap: int) -> bytes:
+        dst = np.empty(max(out_cap, 1), np.uint8)
+        sa = np.frombuffer(src, np.uint8) if src else np.empty(0, np.uint8)
+        r = self._lib.qz_lz4_decompress_block(
+            self._as_u8p(sa), len(src), self._as_u8p(dst), out_cap)
+        if r < 0:
+            raise ValueError("malformed LZ4 block")
+        return dst[:r].tobytes()
+
+    def lz4s_compress_block(self, src: bytes, mini_match: int = 3,
+                            max_distance: int = 32768) -> bytes:
+        n = len(src)
+        cap = n + n // 255 + 64
+        dst = np.empty(cap, np.uint8)
+        sa = np.frombuffer(src, np.uint8) if n else np.empty(0, np.uint8)
+        r = self._lib.qz_lz4s_compress_block(
+            self._as_u8p(sa), n, self._as_u8p(dst), cap, mini_match,
+            max_distance)
+        if r <= 0:
+            raise RuntimeError(f"lz4s compress failed rc={r}")
+        return dst[:r].tobytes()
+
+    def lz4s_decode_block(self, src: bytes, mini_match: int = 3):
+        """Returns (litlens, matchlens, offsets) uint32 arrays."""
+        cap = len(src) + 16
+        ll = np.empty(cap, np.uint32)
+        mm = np.empty(cap, np.uint32)
+        oo = np.empty(cap, np.uint32)
+        sa = np.frombuffer(src, np.uint8) if src else np.empty(0, np.uint8)
+        r = self._lib.qz_lz4s_decode_block(
+            self._as_u8p(sa), len(src), mini_match,
+            ll.ctypes.data_as(_u32p), mm.ctypes.data_as(_u32p),
+            oo.ctypes.data_as(_u32p), cap)
+        if r < 0:
+            raise ValueError("malformed LZ4s block")
+        return ll[:r].copy(), mm[:r].copy(), oo[:r].copy()
+
+    def zstd_post_process(self, src: bytes, lz4s_blocks: bytes,
+                          mini_match: int = 3, level: int = 0) -> bytes:
+        cap = int(self._lib.qz_zstd_compress_bound(len(src))) + 4096
+        dst = np.empty(cap, np.uint8)
+        sa = np.frombuffer(src, np.uint8) if src else np.empty(0, np.uint8)
+        la = (np.frombuffer(lz4s_blocks, np.uint8)
+              if lz4s_blocks else np.empty(0, np.uint8))
+        r = self._lib.qz_zstd_post_process(
+            self._as_u8p(sa), len(src), self._as_u8p(la), len(lz4s_blocks),
+            mini_match, self._as_u8p(dst), cap, level)
+        if r < 0:
+            raise RuntimeError(f"zstd post-process failed rc={r}")
+        return dst[:r].tobytes()
+
+    def zstd_compress(self, src: bytes, level: int = 3) -> bytes:
+        cap = int(self._lib.qz_zstd_compress_bound(len(src))) + 64
+        dst = np.empty(cap, np.uint8)
+        sa = np.frombuffer(src, np.uint8) if src else np.empty(0, np.uint8)
+        r = self._lib.qz_zstd_compress(self._as_u8p(sa), len(src),
+                                       self._as_u8p(dst), cap, level)
+        if r < 0:
+            raise RuntimeError(f"zstd compress failed rc={r}")
+        return dst[:r].tobytes()
+
+    def zstd_decompress(self, src: bytes, out_cap: int) -> bytes:
+        dst = np.empty(max(out_cap, 1), np.uint8)
+        sa = np.frombuffer(src, np.uint8) if src else np.empty(0, np.uint8)
+        r = self._lib.qz_zstd_decompress(self._as_u8p(sa), len(src),
+                                         self._as_u8p(dst), out_cap)
+        if r < 0:
+            raise RuntimeError(f"zstd decompress failed rc={r}")
+        return dst[:r].tobytes()
+
+    def deflate_static_block(self, lits: np.ndarray, lens: np.ndarray,
+                             dists: np.ndarray, final: bool = True,
+                             bitpos: int = 0, dst: np.ndarray | None = None):
+        """Pack tokens into a static-Huffman deflate block.
+
+        Returns (bytes_or_none, out_bitpos, nbytes). When ``dst`` is given the
+        block is written there (continuing at ``bitpos``); otherwise a fresh
+        buffer is returned.
+        """
+        ntok = len(lits)
+        own = dst is None
+        if own:
+            cap = ntok * 4 + 64
+            dst = np.zeros(cap, np.uint8)
+            bitpos = 0
+        lits = np.ascontiguousarray(lits, np.uint8)
+        lens = np.ascontiguousarray(lens, np.uint16)
+        dists = np.ascontiguousarray(dists, np.uint16)
+        out_bp = ctypes.c_int64(0)
+        r = self._lib.qz_deflate_static_block(
+            self._as_u8p(lits), lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            dists.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), ntok,
+            self._as_u8p(dst), len(dst), bitpos, 1 if final else 0,
+            ctypes.byref(out_bp))
+        if r < 0:
+            raise RuntimeError("deflate bitpack overflow")
+        if own:
+            return dst[:r].tobytes(), out_bp.value, r
+        return None, out_bp.value, r
+
+
+_lock = threading.Lock()
+lib: _NativeLib | None = None
+
+
+def _load():
+    global lib
+    with _lock:
+        if lib is not None:
+            return
+        if _needs_build() and not _build():
+            return
+        try:
+            lib = _NativeLib(ctypes.CDLL(_SO))
+        except OSError as e:
+            sys.stderr.write(f"qztpu_native load failed: {e}\n")
+
+
+if os.environ.get("QZTPU_NO_NATIVE") != "1":
+    _load()

@@ -1,0 +1,176 @@
+"""Streaming (piecemeal) API — QzStream.
+
+Parity reference: ``src/qatzip_stream.c`` — ``QzStream_T`` cursor struct with
+pending_in/pending_out (include/qatzip.h:2002), buffer batching in
+``qzCompressStream`` (:403-596), ``qzDecompressStream`` (:599-748) and
+``qzEndStream`` buffer-pool recycling (:751-781).
+
+Semantics preserved:
+  * input is batched into a ``strm_buff_sz`` staging buffer; a compression
+    is issued when the buffer fills or ``last`` is set — so member framing
+    (one gzip-ext member per staged buffer-chunk) matches the reference's
+  * a running crc32 is carried across calls (strm->crc_32)
+  * decompress consumes only whole members, carrying the remainder
+
+Pythonic push/pull interface::
+
+    strm = QzStream(sess)
+    out = strm.compress(piece)          # returns whatever is ready
+    out += strm.compress(b"", last=True)
+    strm.end()
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Optional
+
+from .constants import (
+    DataFormat, QZ_OK, QZ_PARAMS, QZ_FAIL, QZ_DATA_ERROR, QzError,
+    effective_deflate_sw_level,
+)
+from .memory import default_pool
+from .ops import crc32_combine
+
+
+class QzStream:
+    """Stateful streaming cursor bound to a session."""
+
+    def __init__(self, session, strm_buff_sz: Optional[int] = None):
+        self.session = session
+        c = session.common if session.params else None
+        self.strm_buff_sz = strm_buff_sz or (c.strm_buff_sz if c else 64 * 1024)
+        self.pending_in = bytearray()
+        self.pending_out = bytearray()
+        self.crc_32 = 0
+        self.total_in = 0
+        self.total_out = 0
+        self._raw_comp = None   # persistent zlib stream for DEFLATE_RAW
+        self._raw_decomp = None
+        self._ended = False
+
+    # -- compress ------------------------------------------------------------
+    def compress(self, data=b"", last: bool = False) -> bytes:
+        """Feed ``data``; returns output bytes ready so far.
+
+        qzCompressStream analog: batches into strm_buff_sz units; each full
+        unit becomes an independent compression (one or more members).
+        """
+        if self._ended:
+            raise QzError(QZ_FAIL, "stream ended")
+        sess = self.session
+        sess._ensure_ready()
+        fmt = sess.data_fmt
+        self.pending_in += bytes(data)
+        self.total_in += len(data)
+        out = bytearray()
+
+        if fmt == DataFormat.DEFLATE_RAW and sess.algorithm == "deflate":
+            # RAW is a single continued bit-stream: use a persistent
+            # deflater (the reference keeps deflate_strm on the session,
+            # qatzip_internal.h:326-339).
+            if self._raw_comp is None:
+                lvl = effective_deflate_sw_level(sess.common.comp_lvl)
+                self._raw_comp = zlib.compressobj(lvl, zlib.DEFLATED, -15)
+            piece = bytes(self.pending_in)
+            self.pending_in.clear()
+            self.crc_32 = crc32_combine(self.crc_32, zlib.crc32(piece),
+                                        len(piece))
+            out += self._raw_comp.compress(piece)
+            if last:
+                out += self._raw_comp.flush(zlib.Z_FINISH)
+                self._raw_comp = None
+            else:
+                out += self._raw_comp.flush(zlib.Z_FULL_FLUSH)
+            self.total_out += len(out)
+            return bytes(out)
+
+        while len(self.pending_in) >= self.strm_buff_sz:
+            unit = bytes(self.pending_in[: self.strm_buff_sz])
+            del self.pending_in[: self.strm_buff_sz]
+            blob, crc = self.session.compress(unit, last=False, with_crc=True)
+            self.crc_32 = crc32_combine(self.crc_32, crc, len(unit))
+            out += blob
+        if last:
+            unit = bytes(self.pending_in)
+            self.pending_in.clear()
+            blob, crc = self.session.compress(unit, last=True, with_crc=True)
+            self.crc_32 = crc32_combine(self.crc_32, crc, len(unit))
+            out += blob
+        self.total_out += len(out)
+        return bytes(out)
+
+    # -- decompress ------------------------------------------------------------
+    def decompress(self, data=b"", last: bool = False) -> bytes:
+        """Feed compressed ``data``; returns decompressed bytes ready.
+
+        qzDecompressStream analog: whole members are decoded as they
+        complete; a trailing partial member is carried in pending_in.
+        """
+        if self._ended:
+            raise QzError(QZ_FAIL, "stream ended")
+        sess = self.session
+        sess._ensure_ready()
+        fmt = sess.data_fmt
+        self.pending_in += bytes(data)
+        self.total_in += len(data)
+
+        if fmt in (DataFormat.DEFLATE_RAW, DataFormat.ZLIB):
+            if self._raw_decomp is None:
+                wbits = -15 if fmt == DataFormat.DEFLATE_RAW else 15
+                self._raw_decomp = zlib.decompressobj(wbits)
+            try:
+                piece = self._raw_decomp.decompress(bytes(self.pending_in))
+                if last:
+                    piece += self._raw_decomp.flush()
+            except zlib.error as e:
+                raise QzError(QZ_DATA_ERROR, str(e)) from None
+            self.pending_in.clear()
+            self.total_out += len(piece)
+            return piece
+
+        from . import codec as _codec
+        try:
+            out, consumed, _crc = _codec.decompress_buffer(
+                bytes(self.pending_in), algorithm=sess.algorithm,
+                data_fmt=fmt, engine=sess._engine)
+        except QzError:
+            if last:
+                raise
+            return b""
+        del self.pending_in[:consumed]
+        if last and self.pending_in:
+            raise QzError(QZ_DATA_ERROR, "trailing garbage in stream")
+        self.total_out += len(out)
+        return out
+
+    def end(self) -> int:
+        """qzEndStream analog — drop state, recycle buffers."""
+        self.pending_in = bytearray()
+        self.pending_out = bytearray()
+        self._raw_comp = None
+        self._raw_decomp = None
+        self._ended = True
+        return QZ_OK
+
+
+# C-parity wrappers ----------------------------------------------------------
+
+def qz_compress_stream(sess, strm: QzStream, data, last: int = 0):
+    try:
+        out = strm.compress(data, last=bool(last))
+        return QZ_OK, out
+    except QzError as e:
+        return e.rc, b""
+
+
+def qz_decompress_stream(sess, strm: QzStream, data, last: int = 0):
+    try:
+        out = strm.decompress(data, last=bool(last))
+        return QZ_OK, out
+    except QzError as e:
+        return e.rc, b""
+
+
+def qz_end_stream(sess, strm: QzStream) -> int:
+    return strm.end()
