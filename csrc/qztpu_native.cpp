@@ -571,6 +571,450 @@ static inline void static_lit_code(int sym, uint32_t* code, int* nbits) {
   else { *code = bitrev(0xC0 + (sym - 280), 8); *nbits = 8; }
 }
 
+// ---------------------------------------------------------------------------
+// Length-limited Huffman (package-merge, optimal for a given depth limit)
+// ---------------------------------------------------------------------------
+namespace {
+
+struct PMItem {
+  uint64_t w;
+  int32_t sym;   // >=0 for a leaf
+  int32_t a, b;  // arena indices of children (-1 = none)
+};
+
+// Count +1 code length for every leaf under arena[idx].
+void pm_count(const PMItem* arena, int idx, uint8_t* cl) {
+  int stack[64];
+  int sp = 0;
+  stack[sp++] = idx;
+  while (sp) {
+    int i = stack[--sp];
+    const PMItem& it = arena[i];
+    if (it.sym >= 0) cl[it.sym]++;
+    if (it.a >= 0) stack[sp++] = it.a;
+    if (it.b >= 0) stack[sp++] = it.b;
+  }
+}
+
+// Compute optimal code lengths <= maxlen for freq[0..nsym). Requires
+// nsym <= 300 and popcount(used) <= 2^maxlen.
+void huff_lengths(const uint32_t* freq, int nsym, int maxlen,
+                  uint8_t* len_out) {
+  static thread_local PMItem arena[32 * 1024];
+  int an = 0;
+  int leaves[300];
+  int m = 0;
+  for (int s = 0; s < nsym; ++s) {
+    len_out[s] = 0;
+    if (freq[s]) leaves[m++] = s;
+  }
+  if (m == 0) return;
+  if (m == 1) { len_out[leaves[0]] = 1; return; }
+  // insertion-sort leaves by (freq, sym) — nsym tiny
+  for (int i = 1; i < m; ++i) {
+    int key = leaves[i];
+    int j = i - 1;
+    while (j >= 0 && (freq[leaves[j]] > freq[key] ||
+                      (freq[leaves[j]] == freq[key] && leaves[j] > key))) {
+      leaves[j + 1] = leaves[j];
+      --j;
+    }
+    leaves[j + 1] = key;
+  }
+  int leaf_idx[300];
+  for (int i = 0; i < m; ++i) {
+    arena[an] = {freq[leaves[i]], leaves[i], -1, -1};
+    leaf_idx[i] = an++;
+  }
+  static thread_local int list[1024], pkg[1024], merged[1024];
+  int ln = m;
+  for (int i = 0; i < m; ++i) list[i] = leaf_idx[i];
+  for (int it = 1; it < maxlen; ++it) {
+    int pn = ln / 2;
+    for (int j = 0; j < pn; ++j) {
+      arena[an] = {arena[list[2 * j]].w + arena[list[2 * j + 1]].w, -1,
+                   list[2 * j], list[2 * j + 1]};
+      pkg[j] = an++;
+    }
+    // merge leaves and packages by weight
+    int i1 = 0, i2 = 0, k = 0;
+    while (i1 < m || i2 < pn) {
+      if (i2 >= pn ||
+          (i1 < m && arena[leaf_idx[i1]].w <= arena[pkg[i2]].w)) {
+        merged[k++] = leaf_idx[i1++];
+      } else {
+        merged[k++] = pkg[i2++];
+      }
+    }
+    ln = k;
+    for (int j = 0; j < ln; ++j) list[j] = merged[j];
+  }
+  int take = 2 * m - 2;
+  for (int j = 0; j < take && j < ln; ++j) pm_count(arena, list[j], len_out);
+}
+
+// Canonical code assignment (RFC1951 §3.2.2), bit-reversed for LSB-first.
+void canonical_codes(const uint8_t* lens, int nsym, uint16_t* codes) {
+  int bl_count[16] = {0};
+  for (int s = 0; s < nsym; ++s) bl_count[lens[s]]++;
+  bl_count[0] = 0;
+  uint32_t next_code[16] = {0};
+  uint32_t code = 0;
+  for (int b = 1; b <= 15; ++b) {
+    code = (code + bl_count[b - 1]) << 1;
+    next_code[b] = code;
+  }
+  for (int s = 0; s < nsym; ++s) {
+    if (lens[s]) codes[s] = (uint16_t)bitrev(next_code[lens[s]]++, lens[s]);
+    else codes[s] = 0;
+  }
+}
+
+// RLE a code-length sequence into (sym, extra, extrabits) ops per §3.2.7.
+struct CLOp { uint8_t sym, extra_bits; uint8_t extra; };
+
+int rle_code_lengths(const uint8_t* lens, int n, CLOp* ops) {
+  int no = 0;
+  int i = 0;
+  while (i < n) {
+    uint8_t v = lens[i];
+    int run = 1;
+    while (i + run < n && lens[i + run] == v) ++run;
+    if (v == 0) {
+      while (run >= 3) {
+        if (run >= 11) {
+          int r = run > 138 ? 138 : run;
+          ops[no++] = {18, 7, (uint8_t)(r - 11)};
+          run -= r;
+          i += r;
+        } else {
+          ops[no++] = {17, 3, (uint8_t)(run - 3)};
+          i += run;
+          run = 0;
+        }
+      }
+      while (run--) { ops[no++] = {0, 0, 0}; ++i; }
+    } else {
+      ops[no++] = {v, 0, 0};
+      ++i;
+      --run;
+      while (run >= 3) {
+        int r = run > 6 ? 6 : run;
+        ops[no++] = {16, 2, (uint8_t)(r - 3)};
+        run -= r;
+        i += r;
+      }
+      while (run--) { ops[no++] = {v, 0, 0}; ++i; }
+    }
+  }
+  return no;
+}
+
+const uint8_t CL_ORDER[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                              11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+// token unpack helpers (packed u32 tokens from the TPU pipeline:
+// bit31 match flag, [16,31) match length, [0,16) dist-1; literal byte in
+// bits [0,8))
+static inline bool tok_is_match(uint32_t t) { return (t >> 31) != 0; }
+static inline int tok_len(uint32_t t) { return (int)((t >> 16) & 0x7FFF); }
+static inline int tok_dist(uint32_t t) { return (int)(t & 0xFFFF) + 1; }
+static inline int tok_lit(uint32_t t) { return (int)(t & 0xFF); }
+
+}  // namespace
+
+// Emit stored (BTYPE=00) blocks covering src. Used for incompressible
+// chunks — the reference's CnV-failure fallback emits stored blocks the
+// same way (qzDeflateStoredBlocks, src/qatzip.c:1591).
+static int64_t emit_stored(BitWriter& bw, const uint8_t* src, int64_t n,
+                           int32_t final_block) {
+  int64_t off = 0;
+  do {
+    int64_t blk = n - off > 65535 ? 65535 : n - off;
+    bool last = (off + blk == n);
+    bw.put((final_block && last) ? 1u : 0u, 1);
+    bw.put(0u, 2);
+    // align to byte
+    bw.bitpos = (bw.bitpos + 7) & ~7ll;
+    int64_t byte = bw.bitpos >> 3;
+    if (byte + 4 + blk > bw.cap) { bw.overflow = true; return -1; }
+    bw.dst[byte] = (uint8_t)(blk & 0xFF);
+    bw.dst[byte + 1] = (uint8_t)(blk >> 8);
+    bw.dst[byte + 2] = (uint8_t)(~blk & 0xFF);
+    bw.dst[byte + 3] = (uint8_t)((~blk >> 8) & 0xFF);
+    std::memcpy(bw.dst + byte + 4, src + off, (size_t)blk);
+    bw.bitpos += (4 + blk) * 8;
+    off += blk;
+  } while (off < n);
+  return 0;
+}
+
+// Pack one chunk's tokens into a raw DEFLATE stream, choosing the smallest
+// of stored / static / dynamic encodings (mode 0), or forcing static (1) /
+// dynamic (2) — the session's QzHuffmanHdr_T knob (include/qatzip.h:179).
+// final!=0 sets BFINAL; final==0 appends an empty stored block for byte
+// alignment (Z_FULL_FLUSH semantics, matching the reference's per-chunk
+// FLUSH_FULL policy, src/qatzip.c:1384-1394).
+// Returns bytes written, or -1 on overflow.
+int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
+                        int64_t ntok, uint8_t* dst, int64_t cap,
+                        int32_t final_block, int32_t mode) {
+  if (!luts_init) init_luts();
+  std::memset(dst, 0, (size_t)(cap < n + 64 ? cap : n + 64));
+
+  // ----- histograms ------------------------------------------------------
+  uint32_t lfreq[288] = {0}, dfreq[30] = {0};
+  uint64_t extra_bits = 0;
+  for (int64_t i = 0; i < ntok; ++i) {
+    uint32_t t = toks[i];
+    if (tok_is_match(t)) {
+      int len = tok_len(t);
+      int lc = len_code_lut[len];
+      lfreq[257 + lc]++;
+      extra_bits += LEN_EXTRA[lc];
+      int dc = dist_code(tok_dist(t));
+      dfreq[dc]++;
+      extra_bits += DIST_EXTRA[dc];
+    } else {
+      lfreq[tok_lit(t)]++;
+    }
+  }
+  lfreq[256]++;  // EOB
+
+  // ----- static cost -----------------------------------------------------
+  uint64_t static_bits = 3 + extra_bits;
+  for (int s = 0; s < 288; ++s) {
+    if (!lfreq[s]) continue;
+    int nb = s <= 143 ? 8 : s <= 255 ? 9 : s <= 279 ? 7 : 8;
+    static_bits += (uint64_t)lfreq[s] * nb;
+  }
+  for (int d = 0; d < 30; ++d) static_bits += (uint64_t)dfreq[d] * 5;
+
+  // ----- dynamic cost ----------------------------------------------------
+  uint8_t llen[288], dlen[30];
+  uint16_t lcode[288], dcode[30];
+  huff_lengths(lfreq, 288, 15, llen);
+  huff_lengths(dfreq, 30, 15, dlen);
+  int hlit = 257, hdist = 1;
+  for (int s = 257; s < 288; ++s) if (llen[s]) hlit = s + 1;
+  for (int d = 0; d < 30; ++d) if (dlen[d]) hdist = d + 1;
+  uint8_t all_lens[318];
+  std::memcpy(all_lens, llen, (size_t)hlit);
+  std::memcpy(all_lens + hlit, dlen, (size_t)hdist);
+  static thread_local CLOp ops[318];
+  int nops = rle_code_lengths(all_lens, hlit + hdist, ops);
+  uint32_t clfreq[19] = {0};
+  for (int i = 0; i < nops; ++i) clfreq[ops[i].sym]++;
+  uint8_t cllen[19];
+  uint16_t clcode[19];
+  huff_lengths(clfreq, 19, 7, cllen);
+  int hclen = 4;
+  for (int i = 0; i < 19; ++i) if (cllen[CL_ORDER[i]]) hclen = i + 1;
+  uint64_t dyn_bits = 3 + 5 + 5 + 4 + (uint64_t)hclen * 3 + extra_bits;
+  for (int i = 0; i < nops; ++i)
+    dyn_bits += cllen[ops[i].sym] + ops[i].extra_bits;
+  for (int s = 0; s < 288; ++s) dyn_bits += (uint64_t)lfreq[s] * llen[s];
+  for (int d = 0; d < 30; ++d) dyn_bits += (uint64_t)dfreq[d] * dlen[d];
+
+  uint64_t stored_bits = n ? ((uint64_t)n + 5 * ((n + 65534) / 65535)) * 8 + 7
+                           : ~0ull;  // empty input: never stored
+
+  // ----- choose ----------------------------------------------------------
+  int choice;  // 0 stored, 1 static, 2 dynamic
+  if (mode == 1) choice = static_bits <= stored_bits ? 1 : 0;
+  else if (mode == 2) choice = dyn_bits <= stored_bits ? 2 : 0;
+  else choice = (stored_bits <= static_bits && stored_bits <= dyn_bits) ? 0
+              : (dyn_bits < static_bits ? 2 : 1);
+
+  BitWriter bw{dst, cap, 0, false};
+  if (choice == 0) {
+    if (emit_stored(bw, src, n, final_block) < 0) return -1;
+  } else if (choice == 1) {
+    bw.put(final_block ? 1u : 0u, 1);
+    bw.put(1u, 2);
+    for (int64_t i = 0; i < ntok && !bw.overflow; ++i) {
+      uint32_t t = toks[i];
+      uint32_t code; int nb;
+      if (tok_is_match(t)) {
+        int len = tok_len(t);
+        int lc = len_code_lut[len];
+        static_lit_code(257 + lc, &code, &nb);
+        bw.put(code, nb);
+        if (LEN_EXTRA[lc]) bw.put((uint32_t)(len - LEN_BASE[lc]), LEN_EXTRA[lc]);
+        int d = tok_dist(t);
+        int dc = dist_code(d);
+        bw.put(bitrev((uint32_t)dc, 5), 5);
+        if (DIST_EXTRA[dc]) bw.put((uint32_t)(d - DIST_BASE[dc]), DIST_EXTRA[dc]);
+      } else {
+        static_lit_code(tok_lit(t), &code, &nb);
+        bw.put(code, nb);
+      }
+    }
+    uint32_t code; int nb;
+    static_lit_code(256, &code, &nb);
+    bw.put(code, nb);
+  } else {
+    canonical_codes(llen, 288, lcode);
+    canonical_codes(dlen, 30, dcode);
+    canonical_codes(cllen, 19, clcode);
+    bw.put(final_block ? 1u : 0u, 1);
+    bw.put(2u, 2);
+    bw.put((uint32_t)(hlit - 257), 5);
+    bw.put((uint32_t)(hdist - 1), 5);
+    bw.put((uint32_t)(hclen - 4), 4);
+    for (int i = 0; i < hclen; ++i) bw.put(cllen[CL_ORDER[i]], 3);
+    for (int i = 0; i < nops; ++i) {
+      bw.put(clcode[ops[i].sym], cllen[ops[i].sym]);
+      if (ops[i].extra_bits) bw.put(ops[i].extra, ops[i].extra_bits);
+    }
+    for (int64_t i = 0; i < ntok && !bw.overflow; ++i) {
+      uint32_t t = toks[i];
+      if (tok_is_match(t)) {
+        int len = tok_len(t);
+        int lc = len_code_lut[len];
+        bw.put(lcode[257 + lc], llen[257 + lc]);
+        if (LEN_EXTRA[lc]) bw.put((uint32_t)(len - LEN_BASE[lc]), LEN_EXTRA[lc]);
+        int d = tok_dist(t);
+        int dc = dist_code(d);
+        bw.put(dcode[dc], dlen[dc]);
+        if (DIST_EXTRA[dc]) bw.put((uint32_t)(d - DIST_BASE[dc]), DIST_EXTRA[dc]);
+      } else {
+        int lit = tok_lit(t);
+        bw.put(lcode[lit], llen[lit]);
+      }
+    }
+    bw.put(lcode[256], llen[256]);
+  }
+
+  if (!final_block) {
+    // byte-align with an empty stored block (sync flush)
+    bw.put(0u, 1);
+    bw.put(0u, 2);
+    bw.bitpos = (bw.bitpos + 7) & ~7ll;
+    int64_t byte = bw.bitpos >> 3;
+    if (byte + 4 > cap) return -1;
+    dst[byte] = 0; dst[byte + 1] = 0; dst[byte + 2] = 0xFF; dst[byte + 3] = 0xFF;
+    bw.bitpos += 32;
+  }
+  if (bw.overflow) return -1;
+  return (bw.bitpos + 7) >> 3;
+}
+
+// Pack TPU tokens into a standard LZ4 block, enforcing the LZ4 end rules
+// (last 5 bytes literal; no match starting within the last 12 bytes) by
+// demoting/trimming offending matches to literals. Returns bytes written,
+// 0 when dst is too small.
+int64_t qz_lz4_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
+                    int64_t ntok, uint8_t* dst, int64_t cap) {
+  uint8_t* op = dst;
+  uint8_t* oend = dst + cap;
+  if (n == 0) {
+    if (cap < 1) return 0;
+    *op = 0;
+    return 1;
+  }
+  int64_t pos = 0, anchor = 0;
+  for (int64_t i = 0; i < ntok; ++i) {
+    uint32_t t = toks[i];
+    if (!tok_is_match(t)) { ++pos; continue; }
+    int ml = tok_len(t);
+    int dist = tok_dist(t);
+    int64_t advance = ml;
+    if (pos > n - 12) { pos += advance; continue; }          // demote
+    int64_t maxend = n - 5;
+    int eml = ml;
+    if (pos + eml > maxend) eml = (int)(maxend - pos);
+    if (eml < LZ4_MINMATCH) { pos += advance; continue; }    // demote
+    op = lz4_emit(op, oend, src + anchor, (size_t)(pos - anchor),
+                  (size_t)(eml - LZ4_MINMATCH), (uint16_t)dist, true);
+    if (!op) return 0;
+    pos += advance;
+    anchor = pos - (advance - eml);  // trimmed tail becomes literals
+  }
+  // trailing literals
+  size_t lastlit = (size_t)(n - anchor);
+  size_t need = 1 + lastlit / 255 + 1 + lastlit;
+  if (op + need > oend) return 0;
+  uint8_t* tok = op++;
+  if (lastlit >= 15) {
+    *tok = (uint8_t)(15 << 4);
+    size_t r = lastlit - 15;
+    while (r >= 255) { *op++ = 255; r -= 255; }
+    *op++ = (uint8_t)r;
+  } else {
+    *tok = (uint8_t)(lastlit << 4);
+  }
+  std::memcpy(op, src + anchor, lastlit);
+  op += lastlit;
+  return (int64_t)(op - dst);
+}
+
+// Pack TPU tokens into an LZ4s block (stored match length is
+// len-(mini_match-1); trailing literal-only sequence has no offset field).
+int64_t qz_lz4s_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
+                     int64_t ntok, uint8_t* dst, int64_t cap,
+                     int32_t mini_match) {
+  if (mini_match != 3 && mini_match != 4) return -1;
+  const uint32_t base = (uint32_t)(mini_match - 1);
+  uint8_t* op = dst;
+  uint8_t* oend = dst + cap;
+  if (n == 0) {
+    if (cap < 1) return 0;
+    *op = 0;
+    return 1;
+  }
+  int64_t pos = 0, anchor = 0;
+  for (int64_t i = 0; i < ntok; ++i) {
+    uint32_t t = toks[i];
+    if (!tok_is_match(t)) { ++pos; continue; }
+    int ml = tok_len(t);
+    int dist = tok_dist(t);
+    size_t lit = (size_t)(pos - anchor);
+    size_t stored = (size_t)ml - base;
+    size_t need = 1 + lit / 255 + 1 + lit + 2 + 1 + stored / 255;
+    if (op + need + 8 > oend) return 0;
+    uint8_t* tk = op++;
+    if (lit >= 15) {
+      *tk = (uint8_t)(15 << 4);
+      size_t r = lit - 15;
+      while (r >= 255) { *op++ = 255; r -= 255; }
+      *op++ = (uint8_t)r;
+    } else {
+      *tk = (uint8_t)(lit << 4);
+    }
+    std::memcpy(op, src + anchor, lit);
+    op += lit;
+    op[0] = (uint8_t)(dist & 0xFF);
+    op[1] = (uint8_t)(dist >> 8);
+    op += 2;
+    if (stored >= 15) {
+      *tk |= 15;
+      size_t r = stored - 15;
+      while (r >= 255) { *op++ = 255; r -= 255; }
+      *op++ = (uint8_t)r;
+    } else {
+      *tk |= (uint8_t)stored;
+    }
+    pos += ml;
+    anchor = pos;
+  }
+  size_t lastlit = (size_t)(n - anchor);
+  size_t need = 1 + lastlit / 255 + 1 + lastlit;
+  if (op + need > oend) return 0;
+  uint8_t* tk = op++;
+  if (lastlit >= 15) {
+    *tk = (uint8_t)(15 << 4);
+    size_t r = lastlit - 15;
+    while (r >= 255) { *op++ = 255; r -= 255; }
+    *op++ = (uint8_t)r;
+  } else {
+    *tk = (uint8_t)(lastlit << 4);
+  }
+  std::memcpy(op, src + anchor, lastlit);
+  op += lastlit;
+  return (int64_t)(op - dst);
+}
+
 int64_t qz_deflate_static_block(const uint8_t* lits, const uint16_t* lens,
                                 const uint16_t* dists, int64_t ntok,
                                 uint8_t* dst, int64_t cap, int64_t bitpos,

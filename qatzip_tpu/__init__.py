@@ -15,6 +15,18 @@ Quick start::
     data = sess.decompress(blob)
 """
 
+import os as _os
+
+# Persistent XLA compile cache: the tokenizer compiles one program per
+# (batch-bucket, chunk-size) pair, so warm-cache processes skip the 5-60s
+# XLA compile entirely. Set before any jax backend use in this package.
+if _os.environ.get("QZTPU_JAX_CACHE", "") != "0":
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           _os.environ.get("QZTPU_JAX_CACHE",
+                                           "/tmp/qztpu_jax_cache"))
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                           "0.5")
+
 from .constants import (  # noqa: F401
     DataFormat, Direction, HuffmanHdr, PollingMode, CrcType, MemType,
     SessionState, QzError, rc_name,

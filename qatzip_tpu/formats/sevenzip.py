@@ -1,0 +1,737 @@
+"""7z archive container — writer and reader.
+
+Parity reference: utils/qzip_7z.c (3311 LoC): signature header
+(Qz7zSignatureHeader_T, utils/qzip.h:348), end-header property tree
+(PackInfo / CodersInfo / SubStreamsInfo / FilesInfo, utils/qzip.h:321-520,
+writers utils/qzip_7z.c:2731-3060, resolvers :784-1537), the
+concatenate-all-files-into-one-DEFLATE_RAW-stream compression strategy
+(doCompressFile :447-737), and the varint number codec
+(getU64FromBytes/getUint64Bytes :182-246).
+
+Re-implemented from the public 7z format description. The payload stream
+is compressed through a framework session (TPU path when available); the
+reader additionally understands Copy, LZMA1 and LZMA2 coders so archives
+produced by stock 7-Zip extract too (reference decompresses 7z in software
+only, README.md:128).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import stat as statmod
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from ..constants import QZ_DATA_ERROR, QzError
+
+MAGIC = b"7z\xbc\xaf\x27\x1c"
+VERSION = b"\x00\x04"
+
+K_END = 0x00
+K_HEADER = 0x01
+K_MAIN_STREAMS = 0x04
+K_FILES_INFO = 0x05
+K_PACK_INFO = 0x06
+K_UNPACK_INFO = 0x07
+K_SUBSTREAMS_INFO = 0x08
+K_SIZE = 0x09
+K_CRC = 0x0A
+K_FOLDER = 0x0B
+K_CODERS_UNPACK_SIZE = 0x0C
+K_NUM_UNPACK_STREAM = 0x0D
+K_EMPTY_STREAM = 0x0E
+K_EMPTY_FILE = 0x0F
+K_NAME = 0x11
+K_MTIME = 0x14
+K_ATTRIBUTES = 0x15
+K_ENCODED_HEADER = 0x17
+K_DUMMY = 0x19
+
+CODEC_COPY = b"\x00"
+CODEC_DEFLATE = b"\x04\x01\x08"
+CODEC_LZMA1 = b"\x03\x01\x01"
+CODEC_LZMA2 = b"\x21"
+CODEC_BCJ_X86 = b"\x03\x03\x01\x03"
+
+FILETIME_EPOCH = 11644473600  # seconds between 1601 and 1970
+
+
+# ---------------------------------------------------------------------------
+# 7z number codec (utils/qzip_7z.c:182-246 analog)
+# ---------------------------------------------------------------------------
+
+def write_number(v: int) -> bytes:
+    first = 0
+    mask = 0x80
+    i = 0
+    while i < 8:
+        if v < (1 << (7 * (i + 1))):
+            first |= (v >> (8 * i)) & 0xFF
+            break
+        first |= mask
+        mask >>= 1
+        i += 1
+    out = bytearray([first & 0xFF])
+    for _ in range(i):
+        out.append(v & 0xFF)
+        v >>= 8
+    return bytes(out)
+
+
+def read_number(buf, pos: int) -> Tuple[int, int]:
+    first = buf[pos]
+    pos += 1
+    mask = 0x80
+    for i in range(8):
+        if not (first & mask):
+            low = int.from_bytes(bytes(buf[pos:pos + i]), "little")
+            high = first & (mask - 1)
+            return low | (high << (8 * i)), pos + i
+        mask >>= 1
+    return int.from_bytes(bytes(buf[pos:pos + 8]), "little"), pos + 8
+
+
+def _read_exact_numbers(buf, pos, count):
+    out = []
+    for _ in range(count):
+        v, pos = read_number(buf, pos)
+        out.append(v)
+    return out, pos
+
+
+def _write_bitmap(bits: List[bool]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i >> 3] |= 0x80 >> (i & 7)
+    return bytes(out)
+
+
+def _read_bitmap(buf, pos, n) -> Tuple[List[bool], int]:
+    nb = (n + 7) // 8
+    bits = []
+    for i in range(n):
+        bits.append(bool(buf[pos + (i >> 3)] & (0x80 >> (i & 7))))
+    return bits, pos + nb
+
+
+def _unix_to_filetime(t: float) -> int:
+    return int((t + FILETIME_EPOCH) * 10_000_000)
+
+
+def _filetime_to_unix(ft: int) -> float:
+    return ft / 10_000_000 - FILETIME_EPOCH
+
+
+# ---------------------------------------------------------------------------
+# Item list (Qz7zItemList_T analog)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Entry:
+    path: str          # on-disk path
+    name: str          # archive-relative name
+    is_dir: bool
+    is_empty: bool
+    size: int
+    mtime: float
+    mode: int
+    crc: int = 0
+
+
+def _collect(inputs: List[str], recursive: bool = True) -> List[Entry]:
+    """Resolve file/dir arguments into archive entries (dirs first like the
+    reference's category-1/category-2 split, utils/qzip_7z.c:784-900)."""
+    entries: List[Entry] = []
+
+    def add(path: str, name: str):
+        st = os.lstat(path)
+        if statmod.S_ISDIR(st.st_mode):
+            entries.append(Entry(path, name, True, True, 0, st.st_mtime,
+                                 st.st_mode))
+            for child in sorted(os.listdir(path)):
+                add(os.path.join(path, child), name + "/" + child)
+        elif statmod.S_ISREG(st.st_mode):
+            entries.append(Entry(path, name, False, st.st_size == 0,
+                                 st.st_size, st.st_mtime, st.st_mode))
+        # symlinks/devices skipped (reference stores symlinks; TODO parity)
+
+    for arg in inputs:
+        add(arg, os.path.basename(arg.rstrip("/")) or arg)
+    return entries
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+def create_7z(inputs: List[str], out_path: str, sess=None,
+              recursive: bool = True) -> Tuple[int, int]:
+    """Create a .7z archive: one folder holding all non-empty file contents
+    as a single DEFLATE stream (reference doCompressFile strategy).
+
+    Returns (total uncompressed, total archive bytes).
+    """
+    entries = _collect(inputs, recursive)
+    nonempty = [e for e in entries if not e.is_dir and not e.is_empty]
+
+    # --- pack stream: concatenated file bodies, deflate-raw ----------------
+    raw = io.BytesIO()
+    for e in nonempty:
+        with open(e.path, "rb") as fh:
+            data = fh.read()
+        e.crc = zlib.crc32(data) & 0xFFFFFFFF
+        e.size = len(data)
+        raw.write(data)
+    body = raw.getvalue()
+
+    if sess is not None and body:
+        from ..constants import DataFormat
+        import dataclasses as _dc
+        # force raw-deflate framing for the folder stream
+        saved_fmt = sess.data_fmt
+        sess.data_fmt = DataFormat.DEFLATE_RAW
+        try:
+            packed = sess.compress(body)
+        finally:
+            sess.data_fmt = saved_fmt
+    elif body:
+        co = zlib.compressobj(1, zlib.DEFLATED, -15)
+        packed = co.compress(body) + co.flush()
+    else:
+        packed = b""
+
+    # --- end header ----------------------------------------------------------
+    hdr = bytearray()
+    hdr.append(K_HEADER)
+    if nonempty:
+        hdr.append(K_MAIN_STREAMS)
+        # PackInfo
+        hdr.append(K_PACK_INFO)
+        hdr += write_number(0)            # pack pos
+        hdr += write_number(1)            # num pack streams
+        hdr.append(K_SIZE)
+        hdr += write_number(len(packed))
+        hdr.append(K_END)
+        # UnPackInfo
+        hdr.append(K_UNPACK_INFO)
+        hdr.append(K_FOLDER)
+        hdr += write_number(1)            # num folders
+        hdr.append(0)                     # external = 0
+        hdr += write_number(1)            # num coders in folder
+        hdr.append(len(CODEC_DEFLATE))    # flags: id size, simple coder
+        hdr += CODEC_DEFLATE
+        hdr.append(K_CODERS_UNPACK_SIZE)
+        hdr += write_number(len(body))
+        hdr.append(K_END)
+        # SubStreamsInfo
+        hdr.append(K_SUBSTREAMS_INFO)
+        hdr.append(K_NUM_UNPACK_STREAM)
+        hdr += write_number(len(nonempty))
+        if len(nonempty) > 1:
+            hdr.append(K_SIZE)
+            for e in nonempty[:-1]:
+                hdr += write_number(e.size)
+        hdr.append(K_CRC)
+        hdr.append(1)                     # all defined
+        for e in nonempty:
+            hdr += struct.pack("<I", e.crc)
+        hdr.append(K_END)
+        hdr.append(K_END)
+    # FilesInfo
+    hdr.append(K_FILES_INFO)
+    hdr += write_number(len(entries))
+    empty_bits = [e.is_dir or e.is_empty for e in entries]
+    if any(empty_bits):
+        bm = _write_bitmap(empty_bits)
+        hdr.append(K_EMPTY_STREAM)
+        hdr += write_number(len(bm))
+        hdr += bm
+        ef_bits = [not e.is_dir for e in entries if e.is_dir or e.is_empty]
+        if any(ef_bits):
+            bm2 = _write_bitmap(ef_bits)
+            hdr.append(K_EMPTY_FILE)
+            hdr += write_number(len(bm2))
+            hdr += bm2
+    # names (UTF-16LE, NUL-terminated)
+    names = bytearray([0])  # external = 0
+    for e in entries:
+        names += e.name.replace(os.sep, "/").encode("utf-16-le") + b"\x00\x00"
+    hdr.append(K_NAME)
+    hdr += write_number(len(names))
+    hdr += names
+    # mtimes
+    tm = bytearray([1, 0])  # all defined, external=0
+    for e in entries:
+        tm += struct.pack("<Q", _unix_to_filetime(e.mtime))
+    hdr.append(K_MTIME)
+    hdr += write_number(len(tm))
+    hdr += tm
+    # attributes: unix mode << 16 | 0x8000 (+0x10 dir flag)
+    at = bytearray([1, 0])
+    for e in entries:
+        a = 0x8000 | (statmod.S_IMODE(e.mode) << 16)
+        if e.is_dir:
+            a |= 0x10 | (statmod.S_IFDIR << 16)
+        else:
+            a |= (statmod.S_IFREG << 16)
+        at += struct.pack("<I", a)
+    hdr.append(K_ATTRIBUTES)
+    hdr += write_number(len(at))
+    hdr += at
+    hdr.append(K_END)  # FilesInfo end
+    hdr.append(K_END)  # Header end
+
+    # --- assemble ------------------------------------------------------------
+    next_hdr_off = len(packed)
+    next_hdr_crc = zlib.crc32(bytes(hdr)) & 0xFFFFFFFF
+    start = struct.pack("<QQI", next_hdr_off, len(hdr), next_hdr_crc)
+    start_crc = zlib.crc32(start) & 0xFFFFFFFF
+    with open(out_path, "wb") as out:
+        out.write(MAGIC + VERSION + struct.pack("<I", start_crc) + start)
+        out.write(packed)
+        out.write(hdr)
+    total_in = sum(e.size for e in entries)
+    return total_in, 32 + len(packed) + len(hdr)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Coder:
+    codec: bytes
+    nin: int = 1
+    nout: int = 1
+    props: bytes = b""
+
+
+@dataclass
+class _Folder:
+    coders: List[_Coder] = field(default_factory=list)
+    bind_pairs: List[Tuple[int, int]] = field(default_factory=list)
+    packed_indices: List[int] = field(default_factory=list)
+    unpack_sizes: List[int] = field(default_factory=list)
+    crc: Optional[int] = None
+
+    def output_size(self) -> int:
+        # output stream = the one not consumed by a bind pair
+        bound_outs = {o for (_i, o) in self.bind_pairs}
+        idx = 0
+        for ci, c in enumerate(self.coders):
+            for k in range(c.nout):
+                if idx not in bound_outs:
+                    return self.unpack_sizes[idx]
+                idx += 1
+        return self.unpack_sizes[-1]
+
+
+def _decode_coder(coder: _Coder, data: bytes, out_size: int) -> bytes:
+    if coder.codec == CODEC_COPY:
+        return data[:out_size]
+    if coder.codec == CODEC_DEFLATE:
+        out = zlib.decompressobj(-15).decompress(data, out_size)
+        return out
+    if coder.codec == CODEC_LZMA1:
+        import lzma
+        if len(coder.props) != 5:
+            raise QzError(QZ_DATA_ERROR, "bad LZMA props")
+        pb_lp_lc = coder.props[0]
+        lc = pb_lp_lc % 9
+        lp = (pb_lp_lc // 9) % 5
+        pb = pb_lp_lc // 45
+        (dict_size,) = struct.unpack_from("<I", coder.props, 1)
+        filt = [{"id": lzma.FILTER_LZMA1, "lc": lc, "lp": lp, "pb": pb,
+                 "dict_size": max(dict_size, 4096)}]
+        d = lzma.LZMADecompressor(lzma.FORMAT_RAW, filters=filt)
+        return d.decompress(data, out_size)
+    if coder.codec == CODEC_LZMA2:
+        import lzma
+        dict_size = 1 << 24
+        if coder.props:
+            p = coder.props[0]
+            if p < 40:
+                dict_size = (2 | (p & 1)) << (p // 2 + 11)
+        filt = [{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}]
+        d = lzma.LZMADecompressor(lzma.FORMAT_RAW, filters=filt)
+        return d.decompress(data, out_size)
+    raise QzError(QZ_DATA_ERROR,
+                  f"unsupported 7z codec {coder.codec.hex()}")
+
+
+class _HeaderParser:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.pack_sizes: List[int] = []
+        self.pack_pos = 0
+        self.folders: List[_Folder] = []
+        self.num_unpack_streams: List[int] = []
+        self.sub_sizes: List[List[int]] = []
+        self.sub_crcs: List[Optional[int]] = []
+        self.files: List[dict] = []
+
+    # -- primitives -----------------------------------------------------------
+    def byte(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def num(self) -> int:
+        v, self.pos = read_number(self.buf, self.pos)
+        return v
+
+    def take(self, n: int) -> bytes:
+        d = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return d
+
+    def expect(self, k: int):
+        got = self.byte()
+        if got != k:
+            raise QzError(QZ_DATA_ERROR, f"7z: expected id {k}, got {got}")
+
+    # -- sections --------------------------------------------------------------
+    def parse_header(self):
+        t = self.byte()
+        if t != K_HEADER:
+            raise QzError(QZ_DATA_ERROR, "7z: not a plain header")
+        t = self.byte()
+        if t == K_MAIN_STREAMS:
+            self.parse_streams_info()
+            t = self.byte()
+        if t == K_FILES_INFO:
+            self.parse_files_info()
+            t = self.byte()
+        # trailing K_END consumed by parse_files_info caller loop
+
+    def parse_streams_info(self):
+        t = self.byte()
+        if t == K_PACK_INFO:
+            self.pack_pos = self.num()
+            n = self.num()
+            while True:
+                t2 = self.byte()
+                if t2 == K_SIZE:
+                    self.pack_sizes, self.pos = _read_exact_numbers(
+                        self.buf, self.pos, n)
+                elif t2 == K_END:
+                    break
+                elif t2 == K_CRC:
+                    self._skip_crc(n)
+                else:
+                    raise QzError(QZ_DATA_ERROR, "7z: bad PackInfo")
+            t = self.byte()
+        if t == K_UNPACK_INFO:
+            self.parse_unpack_info()
+            t = self.byte()
+        if t == K_SUBSTREAMS_INFO:
+            self.parse_substreams_info()
+            t = self.byte()
+        if t != K_END:
+            raise QzError(QZ_DATA_ERROR, "7z: bad StreamsInfo terminator")
+
+    def _skip_crc(self, n):
+        all_defined = self.byte()
+        bits = [True] * n
+        if not all_defined:
+            bits, self.pos = _read_bitmap(self.buf, self.pos, n)
+        self.take(4 * sum(bits))
+
+    def parse_unpack_info(self):
+        self.expect(K_FOLDER)
+        nfolders = self.num()
+        external = self.byte()
+        if external:
+            raise QzError(QZ_DATA_ERROR, "7z: external folders unsupported")
+        pack_index = 0
+        for _ in range(nfolders):
+            f = _Folder()
+            ncoders = self.num()
+            total_out = total_in = 0
+            for _c in range(ncoders):
+                flags = self.byte()
+                idsize = flags & 0x0F
+                codec = self.take(idsize)
+                c = _Coder(codec)
+                if flags & 0x10:  # complex
+                    c.nin = self.num()
+                    c.nout = self.num()
+                if flags & 0x20:  # has props
+                    psz = self.num()
+                    c.props = self.take(psz)
+                f.coders.append(c)
+                total_in += c.nin
+                total_out += c.nout
+            nbind = total_out - 1
+            for _bp in range(nbind):
+                i = self.num()
+                o = self.num()
+                f.bind_pairs.append((i, o))
+            npacked = total_in - nbind
+            if npacked == 1:
+                bound_ins = {i for (i, _o) in f.bind_pairs}
+                for k in range(total_in):
+                    if k not in bound_ins:
+                        f.packed_indices = [k]
+                        break
+            else:
+                f.packed_indices = [self.num() for _ in range(npacked)]
+            f._total_out = total_out
+            self.folders.append(f)
+        self.expect(K_CODERS_UNPACK_SIZE)
+        for f in self.folders:
+            f.unpack_sizes, self.pos = _read_exact_numbers(
+                self.buf, self.pos, f._total_out)
+        t = self.byte()
+        if t == K_CRC:
+            n = len(self.folders)
+            all_defined = self.byte()
+            bits = [True] * n
+            if not all_defined:
+                bits, self.pos = _read_bitmap(self.buf, self.pos, n)
+            for f, has in zip(self.folders, bits):
+                if has:
+                    (f.crc,) = struct.unpack_from("<I", self.take(4))
+            t = self.byte()
+        if t != K_END:
+            raise QzError(QZ_DATA_ERROR, "7z: bad UnPackInfo terminator")
+
+    def parse_substreams_info(self):
+        t = self.byte()
+        nums = [1] * len(self.folders)
+        if t == K_NUM_UNPACK_STREAM:
+            nums = [self.num() for _ in self.folders]
+            t = self.byte()
+        self.num_unpack_streams = nums
+        sizes: List[List[int]] = []
+        if t == K_SIZE:
+            for f, n in zip(self.folders, nums):
+                ss = []
+                for _ in range(n - 1):
+                    ss.append(self.num())
+                ss.append(f.output_size() - sum(ss))
+                sizes.append(ss)
+            t = self.byte()
+        else:
+            sizes = [[f.output_size()] for f in self.folders]
+        self.sub_sizes = sizes
+        total_streams = sum(nums)
+        crcs: List[Optional[int]] = [None] * total_streams
+        if t == K_CRC:
+            # digests for streams whose folder-crc doesn't already cover them
+            ndig = 0
+            known = []
+            for f, n in zip(self.folders, nums):
+                for _ in range(n):
+                    k = (n == 1 and f.crc is not None)
+                    known.append(k)
+                    if not k:
+                        ndig += 1
+            all_defined = self.byte()
+            bits = [True] * ndig
+            if not all_defined:
+                bits, self.pos = _read_bitmap(self.buf, self.pos, ndig)
+            di = 0
+            for si in range(total_streams):
+                if known[si]:
+                    fidx = 0
+                    crcs[si] = None  # folder crc applies
+                else:
+                    if bits[di]:
+                        (crcs[si],) = struct.unpack_from("<I", self.take(4))
+                    di += 1
+            t = self.byte()
+        self.sub_crcs = crcs
+        if t != K_END:
+            raise QzError(QZ_DATA_ERROR, "7z: bad SubStreamsInfo terminator")
+
+    def parse_files_info(self):
+        nfiles = self.num()
+        files = [dict(name=None, empty_stream=False, empty_file=False,
+                      mtime=None, attr=None) for _ in range(nfiles)]
+        while True:
+            prop = self.byte()
+            if prop == K_END:
+                break
+            size = self.num()
+            end = self.pos + size
+            if prop == K_EMPTY_STREAM:
+                bits, self.pos = _read_bitmap(self.buf, self.pos, nfiles)
+                for fobj, b in zip(files, bits):
+                    fobj["empty_stream"] = b
+            elif prop == K_EMPTY_FILE:
+                nempty = sum(1 for fobj in files if fobj["empty_stream"])
+                bits, self.pos = _read_bitmap(self.buf, self.pos, nempty)
+                i = 0
+                for fobj in files:
+                    if fobj["empty_stream"]:
+                        fobj["empty_file"] = bits[i]
+                        i += 1
+            elif prop == K_NAME:
+                external = self.byte()
+                if external:
+                    raise QzError(QZ_DATA_ERROR, "7z: external names")
+                blob = self.take(size - 1)
+                parts = blob.split(b"\x00\x00")
+                # utf-16 2-byte alignment: rebuild by scanning
+                names = []
+                cur = bytearray()
+                i = 0
+                while i + 1 < len(blob) + 1 and len(names) < nfiles:
+                    ch = blob[i:i + 2]
+                    if ch == b"\x00\x00":
+                        names.append(cur.decode("utf-16-le"))
+                        cur = bytearray()
+                    else:
+                        cur += ch
+                    i += 2
+                for fobj, nm in zip(files, names):
+                    fobj["name"] = nm
+            elif prop == K_MTIME:
+                all_defined = self.byte()
+                bits = [True] * nfiles
+                if not all_defined:
+                    bits, self.pos = _read_bitmap(self.buf, self.pos, nfiles)
+                external = self.byte()
+                for fobj, b in zip(files, bits):
+                    if b:
+                        (ft,) = struct.unpack_from("<Q", self.take(8))
+                        fobj["mtime"] = _filetime_to_unix(ft)
+            elif prop == K_ATTRIBUTES:
+                all_defined = self.byte()
+                bits = [True] * nfiles
+                if not all_defined:
+                    bits, self.pos = _read_bitmap(self.buf, self.pos, nfiles)
+                external = self.byte()
+                for fobj, b in zip(files, bits):
+                    if b:
+                        (fobj["attr"],) = struct.unpack_from(
+                            "<I", self.take(4))
+            self.pos = end
+        self.files = files
+
+
+def _read_header(fh) -> Tuple[bytes, int]:
+    sig = fh.read(32)
+    if sig[:6] != MAGIC:
+        raise QzError(QZ_DATA_ERROR, "not a 7z archive")
+    start_crc, = struct.unpack_from("<I", sig, 8)
+    nh_off, nh_size, nh_crc = struct.unpack_from("<QQI", sig, 12)
+    if zlib.crc32(sig[12:32]) & 0xFFFFFFFF != start_crc:
+        raise QzError(QZ_DATA_ERROR, "7z: signature header CRC mismatch")
+    fh.seek(32 + nh_off)
+    hdr = fh.read(nh_size)
+    if zlib.crc32(hdr) & 0xFFFFFFFF != nh_crc:
+        raise QzError(QZ_DATA_ERROR, "7z: end header CRC mismatch")
+    return hdr, nh_off
+
+
+def _decode_folder(fh, folder: _Folder, pack_offsets: List[int],
+                   pack_sizes: List[int], base: int) -> bytes:
+    """Decode a folder's coder chain (single-path chains only)."""
+    # read packed streams
+    packs = []
+    for pi in folder.packed_indices:
+        fh.seek(base + pack_offsets[pi])
+        packs.append(fh.read(pack_sizes[pi]))
+    if len(folder.coders) == 1:
+        return _decode_coder(folder.coders[0], packs[0],
+                             folder.unpack_sizes[0])
+    # chain: decode in coder order following bind pairs (simple linear chain)
+    data = packs[0]
+    out = data
+    for ci, coder in enumerate(folder.coders):
+        out = _decode_coder(coder, out, folder.unpack_sizes[ci])
+    return out
+
+
+def extract_7z(archive: str, dest_dir: str = ".",
+               verify_crc: bool = True) -> List[str]:
+    """Extract a .7z archive. Returns the list of extracted paths."""
+    written: List[str] = []
+    with open(archive, "rb") as fh:
+        hdr, _ = _read_header(fh)
+        if hdr and hdr[0] == K_ENCODED_HEADER:
+            p = _HeaderParser(hdr[1:])
+            p.parse_streams_info()
+            offs = [0]
+            for s in p.pack_sizes[:-1]:
+                offs.append(offs[-1] + s)
+            real = _decode_folder(fh, p.folders[0], offs, p.pack_sizes,
+                                  32 + p.pack_pos)
+            hdr = real
+        p = _HeaderParser(hdr)
+        p.parse_header()
+
+        # substream payloads, in folder order
+        payloads: List[bytes] = []
+        crcs: List[Optional[int]] = []
+        if p.folders:
+            offs = [0]
+            for s in p.pack_sizes[:-1]:
+                offs.append(offs[-1] + s)
+            si = 0
+            for fi, folder in enumerate(p.folders):
+                data = _decode_folder(fh, folder, offs, p.pack_sizes,
+                                      32 + p.pack_pos)
+                n = (p.num_unpack_streams[fi]
+                     if p.num_unpack_streams else 1)
+                sizes = (p.sub_sizes[fi] if p.sub_sizes
+                         else [folder.output_size()])
+                pos = 0
+                for k in range(n):
+                    payloads.append(data[pos:pos + sizes[k]])
+                    crcs.append(p.sub_crcs[si] if p.sub_crcs else None)
+                    pos += sizes[k]
+                    si += 1
+
+        sidx = 0
+        for fobj in p.files:
+            name = fobj["name"] or f"file{sidx}"
+            path = os.path.join(dest_dir, name)
+            attr = fobj["attr"] or 0
+            is_dir = bool(attr & 0x10) or (
+                fobj["empty_stream"] and not fobj["empty_file"])
+            if is_dir:
+                os.makedirs(path, exist_ok=True)
+                written.append(path)
+                continue
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            if fobj["empty_stream"]:
+                data = b""
+            else:
+                data = payloads[sidx]
+                if verify_crc and crcs[sidx] is not None:
+                    if zlib.crc32(data) & 0xFFFFFFFF != crcs[sidx]:
+                        raise QzError(QZ_DATA_ERROR,
+                                      f"7z: CRC mismatch for {name}")
+                sidx += 1
+            with open(path, "wb") as out:
+                out.write(data)
+            if attr & 0x8000:
+                os.chmod(path, (attr >> 16) & 0o7777 or 0o644)
+            if fobj["mtime"]:
+                os.utime(path, (fobj["mtime"], fobj["mtime"]))
+            written.append(path)
+    return written
+
+
+def list_7z(archive: str) -> List[dict]:
+    with open(archive, "rb") as fh:
+        hdr, _ = _read_header(fh)
+        if hdr and hdr[0] == K_ENCODED_HEADER:
+            p = _HeaderParser(hdr[1:])
+            p.parse_streams_info()
+            offs = [0]
+            for s in p.pack_sizes[:-1]:
+                offs.append(offs[-1] + s)
+            hdr = _decode_folder(fh, p.folders[0], offs, p.pack_sizes,
+                                 32 + p.pack_pos)
+        p = _HeaderParser(hdr)
+        p.parse_header()
+        return p.files

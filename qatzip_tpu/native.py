@@ -93,6 +93,17 @@ class _NativeLib:
             _u8p, ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, _u8p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, _i64p]
+        L.qz_deflate_pack.restype = ctypes.c_int64
+        L.qz_deflate_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
+                                      ctypes.c_int64, _u8p, ctypes.c_int64,
+                                      ctypes.c_int32, ctypes.c_int32]
+        L.qz_lz4_pack.restype = ctypes.c_int64
+        L.qz_lz4_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
+                                  ctypes.c_int64, _u8p, ctypes.c_int64]
+        L.qz_lz4s_pack.restype = ctypes.c_int64
+        L.qz_lz4s_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
+                                   ctypes.c_int64, _u8p, ctypes.c_int64,
+                                   ctypes.c_int32]
 
     # -- helpers -----------------------------------------------------------
     @staticmethod
@@ -181,6 +192,56 @@ class _NativeLib:
                                          self._as_u8p(dst), out_cap)
         if r < 0:
             raise RuntimeError(f"zstd decompress failed rc={r}")
+        return dst[:r].tobytes()
+
+    def deflate_pack(self, src, tokens: np.ndarray, ntok: int,
+                     final: bool = True, mode: int = 0) -> bytes:
+        """Pack packed-u32 TPU tokens into a raw deflate stream.
+
+        mode: 0 = best of stored/static/dynamic, 1 = static, 2 = dynamic.
+        """
+        n = len(src)
+        sa = (np.frombuffer(src, np.uint8) if not isinstance(src, np.ndarray)
+              else src)
+        toks = np.ascontiguousarray(tokens[:ntok], np.uint32)
+        cap = n + n // 8 + 1024
+        dst = np.empty(cap, np.uint8)
+        r = self._lib.qz_deflate_pack(
+            self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
+            n, toks.ctypes.data_as(_u32p), ntok, self._as_u8p(dst), cap,
+            1 if final else 0, mode)
+        if r < 0:
+            raise RuntimeError("deflate pack overflow")
+        return dst[:r].tobytes()
+
+    def lz4_pack(self, src, tokens: np.ndarray, ntok: int) -> bytes:
+        n = len(src)
+        sa = (np.frombuffer(src, np.uint8) if not isinstance(src, np.ndarray)
+              else src)
+        toks = np.ascontiguousarray(tokens[:ntok], np.uint32)
+        cap = n + n // 128 + 1024
+        dst = np.empty(cap, np.uint8)
+        r = self._lib.qz_lz4_pack(
+            self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
+            n, toks.ctypes.data_as(_u32p), ntok, self._as_u8p(dst), cap)
+        if r <= 0:
+            raise RuntimeError("lz4 pack overflow")
+        return dst[:r].tobytes()
+
+    def lz4s_pack(self, src, tokens: np.ndarray, ntok: int,
+                  mini_match: int = 3) -> bytes:
+        n = len(src)
+        sa = (np.frombuffer(src, np.uint8) if not isinstance(src, np.ndarray)
+              else src)
+        toks = np.ascontiguousarray(tokens[:ntok], np.uint32)
+        cap = n + n // 128 + 1024
+        dst = np.empty(cap, np.uint8)
+        r = self._lib.qz_lz4s_pack(
+            self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
+            n, toks.ctypes.data_as(_u32p), ntok, self._as_u8p(dst), cap,
+            mini_match)
+        if r <= 0:
+            raise RuntimeError("lz4s pack overflow")
         return dst[:r].tobytes()
 
     def deflate_static_block(self, lits: np.ndarray, lens: np.ndarray,

@@ -1,0 +1,198 @@
+"""Accelerated chunk engine: TPU tokenize + native host entropy pack.
+
+The analog of the reference's per-instance submit/poll machinery
+(src/qatzip.c:1336-1887): the dispatch layer (codec.py) fans a request into
+``hw_buff_sz`` chunks; this engine
+
+  1. tiles the chunk batch (device "ring depth" = TILE_B, the 32/128-deep
+     buffer-ring analog, qatzip_internal.h:63-68),
+  2. runs the batched LZ77 tokenizer on device (ops/lz77.py) — XLA's async
+     dispatch queue pipelines tile k+1's transfer/compute under tile k's
+     host-side entropy pack, playing the role of the producer/consumer
+     thread pair,
+  3. bit-packs tokens into deflate/LZ4/LZ4s payloads with the native C++
+     packers (csrc/qztpu_native.cpp), in parallel host threads,
+  4. returns (payload, crc32) per chunk in submission order — the ordered
+     retirement invariant of doCompressOut (src/qatzip.c:1733-1750).
+
+Optional compress-and-verify (QZTPU_CNV=1) decodes every payload and
+compares against the source — the reference runs CnV on every request in
+hardware (src/qatzip.c:1387) and falls back to stored blocks on failure;
+we fall back to the software codec for the failing chunk.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..constants import DataFormat
+from ..utils.debug import qz_log
+
+
+TILE_B = 128  # chunks per device dispatch
+
+
+def _bucket(b: int) -> int:
+    p = 1
+    while p < b:
+        p <<= 1
+    return min(p, TILE_B)
+
+
+class TpuEngine:
+    """Chunk-batch engine backed by the JAX device runtime."""
+
+    name = "tpu"
+
+    def __init__(self, devices, algorithm: str):
+        self.devices = list(devices)
+        self.algorithm = algorithm
+        self._cnv_default = os.environ.get("QZTPU_CNV", "0") == "1"
+
+    # -- tokenizer params per algorithm -------------------------------------
+    @staticmethod
+    def _tok_params(algorithm: str):
+        if algorithm == "deflate":
+            return dict(min_match=4, max_match=258, window=32768)
+        # LZ4/LZ4s: 32KB history (reference windowSize=7,
+        # src/qatzip_utils.c:270); token field caps match length at 15 bits
+        return dict(min_match=4, max_match=32767, window=32768)
+
+    # -- device stage ---------------------------------------------------------
+    def _tokenize_tiles(self, chunks: Sequence[bytes], n: int, algorithm: str):
+        """Yield (tile_start, np tokens (b,n) u32, np ntok (b,)) per tile.
+
+        All tiles are dispatched eagerly; XLA's async queue overlaps the
+        device work with the caller's host-side packing of earlier tiles.
+        """
+        import jax.numpy as jnp
+        from ..ops.lz77 import lz77_tokenize
+
+        params = self._tok_params(algorithm)
+        pending = []
+        for start in range(0, len(chunks), TILE_B):
+            tile = chunks[start:start + TILE_B]
+            b = _bucket(len(tile))
+            data = np.zeros((b, n), np.uint8)
+            lengths = np.zeros(b, np.int32)
+            for i, c in enumerate(tile):
+                a = np.frombuffer(c, np.uint8)
+                data[i, :len(a)] = a
+                lengths[i] = len(a)
+            toks, ntok = lz77_tokenize(jnp.asarray(data),
+                                       jnp.asarray(lengths), n=n, **params)
+            pending.append((start, len(tile), toks, ntok))
+        for start, nt, toks, ntok in pending:
+            yield start, nt, np.asarray(toks), np.asarray(ntok)
+
+    # -- public engine interface ----------------------------------------------
+    def compress_chunks(self, chunks: Sequence[bytes], *, level: int,
+                        algorithm: str = "deflate",
+                        final_flags: Optional[Sequence[bool]] = None,
+                        mini_match: int = 3,
+                        huffman_static: bool = False,
+                        cnv: Optional[bool] = None,
+                        ) -> List[Tuple[bytes, int]]:
+        """Compress each chunk to an independent payload + its crc32.
+
+        ``level`` is accepted for interface parity but does not change the
+        device matcher (the reference likewise maps levels 1-8 onto the
+        same hardware search, README.md:109-114; level 9 is routed to
+        software by the session layer before reaching an engine).
+        """
+        from .. import native
+        from ..engines import host_pool, host_engine
+
+        if native.lib is None:
+            return host_engine.compress_chunks(
+                chunks, level=level, algorithm=algorithm,
+                final_flags=final_flags, mini_match=mini_match,
+                huffman_static=huffman_static)
+
+        if cnv is None:
+            cnv = self._cnv_default
+        finals = list(final_flags) if final_flags is not None \
+            else [True] * len(chunks)
+        n = 1
+        for c in chunks:
+            while n < len(c):
+                n <<= 1
+        n = max(n, 256)
+
+        results: List[Optional[Tuple[bytes, int]]] = [None] * len(chunks)
+        mode = 1 if huffman_static else 0  # 0 = best(stored/static/dynamic)
+
+        def pack_one(args):
+            gi, chunk, toks, ntok = args
+            if algorithm == "deflate":
+                payload = native.lib.deflate_pack(chunk, toks, ntok,
+                                                  final=finals[gi], mode=mode)
+            elif algorithm == "lz4":
+                payload = native.lib.lz4_pack(chunk, toks, ntok)
+            else:  # lz4s
+                payload = native.lib.lz4s_pack(chunk, toks, ntok, mini_match)
+            if cnv:
+                payload = self._verify_or_fallback(chunk, payload, algorithm,
+                                                   finals[gi], level,
+                                                   mini_match)
+            return gi, payload, zlib.crc32(chunk) & 0xFFFFFFFF
+
+        pool = host_pool()
+        futures = []
+        for start, nt, toks, ntok in self._tokenize_tiles(chunks, n,
+                                                          algorithm):
+            for i in range(nt):
+                gi = start + i
+                futures.append(pool.submit(
+                    pack_one, (gi, chunks[gi], toks[i], int(ntok[i]))))
+        for f in futures:
+            gi, payload, crc = f.result()
+            results[gi] = (payload, crc)
+        return results  # type: ignore[return-value]
+
+    def _verify_or_fallback(self, chunk: bytes, payload: bytes,
+                            algorithm: str, final: bool, level: int,
+                            mini_match: int) -> bytes:
+        """CnV: decode-verify; on mismatch re-encode with the SW codec
+        (reference: CnV error → stored-block fallback,
+        src/qatzip.c:1774-1806)."""
+        from .. import native
+        try:
+            if algorithm == "deflate":
+                out = zlib.decompressobj(-15).decompress(payload)
+            elif algorithm == "lz4":
+                out = native.lib.lz4_decompress_block(payload, len(chunk))
+            else:
+                return payload  # lz4s verified via its consumer
+            if out == chunk:
+                return payload
+        except Exception:  # noqa: BLE001
+            pass
+        qz_log("CnV mismatch — software fallback for %d-byte chunk",
+               len(chunk))
+        from ..engines import host_engine
+        (fb, _), = host_engine.compress_chunks(
+            [chunk], level=level, algorithm=algorithm,
+            final_flags=[final], mini_match=mini_match)
+        return fb
+
+    def decompress_chunks(self, payloads: Sequence[bytes],
+                          expected_sizes: Sequence[int], *,
+                          algorithm: str = "deflate") -> List[bytes]:
+        """Decode stays on the host this round (bit-serial Huffman decode
+        does not map to the vector units; per-member host threads are the
+        current design point — see SURVEY.md §7 'hard parts')."""
+        from ..engines import host_engine
+        return host_engine.decompress_chunks(payloads, expected_sizes,
+                                             algorithm=algorithm)
+
+
+def build_engine(algorithm: str, devices):
+    """Factory used by the runtime engine pool (runtime.get_engine)."""
+    if not devices:
+        return None
+    return TpuEngine(devices, algorithm)

@@ -1,0 +1,89 @@
+"""Multi-chip chunk-data-parallel dispatch over a jax.sharding.Mesh.
+
+The reference's only parallelism is data-parallel over independent chunks
+and hardware instances (SURVEY.md §2.4): instances from all PCIe devices are
+shuffled into one pool (src/qatzip.c:716-729) and threads fan chunk batches
+across them. The TPU-native equivalent is one logical ``dp`` mesh axis over
+every chip: the chunk batch is sharded on its leading axis, each chip
+tokenizes its shard with the identical XLA program, and the only collective
+is a tiny psum of per-shard stats — compressed members are gathered to host
+in submission order for stitching (the doCompressOut ordered-retirement
+analog, src/qatzip.c:1733-1750).
+
+Scaling notes: chunks are independent, so ICI traffic is O(stats) — the
+design scales linearly until host↔device bandwidth saturates, matching the
+run_perf_test.sh model of summing per-worker Gbps (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def make_mesh(devices=None, axis: str = "dp"):
+    """Build a 1-D chunk-DP mesh over all (or the given) devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devs, (axis,))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
+                      window: int):
+    """Compile the mesh-sharded tokenize step (cached per mesh+shape)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_key.mesh
+    from ..ops.lz77 import lz77_tokenize
+
+    data_s = NamedSharding(mesh, P("dp", None))
+    len_s = NamedSharding(mesh, P("dp"))
+
+    def step(data, lengths):
+        toks, ntok = lz77_tokenize(data, lengths, n=n, min_match=min_match,
+                                   max_match=max_match, window=window)
+        # cross-chip stats psum — the per-instance counter aggregation
+        # (src/qatzip_counter.c:56-81) done as a collective
+        total_tok = jnp.sum(ntok)
+        total_in = jnp.sum(lengths)
+        return toks, ntok, jnp.stack([total_tok, total_in])
+
+    return jax.jit(step, in_shardings=(data_s, len_s),
+                   out_shardings=(data_s, len_s, None))
+
+
+class _MeshKey:
+    """Hashable wrapper so lru_cache can key on a Mesh."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash(tuple(d.id for d in self.mesh.devices.flat))
+
+    def __eq__(self, other):
+        return (isinstance(other, _MeshKey)
+                and tuple(d.id for d in self.mesh.devices.flat)
+                == tuple(d.id for d in other.mesh.devices.flat))
+
+
+def mesh_tokenize(mesh, data: np.ndarray, lengths: np.ndarray, *, n: int,
+                  min_match: int = 4, max_match: int = 258,
+                  window: int = 32768) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a chunk batch sharded over the mesh's ``dp`` axis.
+
+    The batch's leading dim must be divisible by the mesh size (pad with
+    empty chunks — lengths 0 — to round up).
+    """
+    import jax.numpy as jnp
+
+    step = _sharded_tokenize(_MeshKey(mesh), n, min_match, max_match, window)
+    toks, ntok, stats = step(jnp.asarray(data), jnp.asarray(lengths))
+    return np.asarray(toks), np.asarray(ntok), np.asarray(stats)
