@@ -15,17 +15,9 @@ Quick start::
     data = sess.decompress(blob)
 """
 
-import os as _os
+from .utils.jaxcache import ensure_compile_cache as _ensure_compile_cache
 
-# Persistent XLA compile cache: the tokenizer compiles one program per
-# (batch-bucket, chunk-size) pair, so warm-cache processes skip the 5-60s
-# XLA compile entirely. Set before any jax backend use in this package.
-if _os.environ.get("QZTPU_JAX_CACHE", "") != "0":
-    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                           _os.environ.get("QZTPU_JAX_CACHE",
-                                           "/tmp/qztpu_jax_cache"))
-    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
-                           "0.5")
+_ensure_compile_cache()
 
 from .constants import (  # noqa: F401
     DataFormat, Direction, HuffmanHdr, PollingMode, CrcType, MemType,
@@ -52,5 +44,15 @@ from .bounds import max_compressed_length  # noqa: F401
 from .memory import qz_malloc, qz_free, qz_mem_find_addr, BufferPool  # noqa: F401
 from .stream import QzStream, qz_compress_stream, qz_decompress_stream, qz_end_stream  # noqa: F401
 from .ops import crc32, crc32_combine, xxh32, adler32  # noqa: F401
+from .crc64 import (  # noqa: F401
+    Crc64, Crc64Config, Metadata, MetadataBlock,
+    qz_set_session_crc64_config, qz_get_session_crc64_config,
+    qz_compress_crc64, qz_decompress_crc64,
+    qz_allocate_metadata, qz_metadata_block_read, qz_metadata_block_write,
+    qz_compress_with_metadata,
+)
+from .async_engine import (  # noqa: F401
+    AQzSession, aqz_init, aqz_stop, AQZ_OK, AQZ_NO_SPACE, AQZ_STOPPED,
+)
 
 __version__ = "0.1.0"

@@ -119,7 +119,7 @@ def make_out_name(in_name: str, decompress: bool, fmt: Optional[str],
                   algorithm: str) -> Optional[str]:
     """Suffix rules (utils/qzip.c:545-637)."""
     if decompress:
-        for suf in (".gz", ".lz4", ".lz4s", ".7z"):
+        for suf in (".gz", ".lz4", ".lz4s", ".7z", ".zst"):
             if in_name.endswith(suf):
                 return in_name[: -len(suf)]
         return None  # unknown suffix — refuse like gzip does
@@ -158,6 +158,17 @@ def process_file(args, in_name: str) -> int:
         print(f"qzip: {out_name} already exists; use -f to force",
               file=sys.stderr)
         return 1
+
+    if decompress and in_name.endswith(".zst"):
+        # zstd decode is a direct native path (utils/qzstd.c:434+)
+        from ..postproc import zstd_decompress
+        with open(in_name, "rb") as fin:
+            out = zstd_decompress(fin.read())
+        with open(out_name, "wb") as fout:
+            fout.write(out)
+        if not args.keep:
+            os.unlink(in_name)
+        return 0
 
     sess = (_detect_decomp_session(in_name, args) if decompress
             else _setup_session(args))
@@ -289,7 +300,11 @@ def main(argv=None) -> int:
     for name in args.files:
         if name.endswith(".7z") and args.decompress:
             from ..formats.sevenzip import extract_7z
-            extract_7z(name, ".")
+            try:
+                extract_7z(name, ".")
+            except QzError as e:
+                print(f"qzip: {name}: {e}", file=sys.stderr)
+                rc = 1
             continue
         if os.path.isdir(name):
             if args.recursive:

@@ -334,8 +334,11 @@ def _decode_coder(coder: _Coder, data: bytes, out_size: int) -> bytes:
     if coder.codec == CODEC_COPY:
         return data[:out_size]
     if coder.codec == CODEC_DEFLATE:
-        out = zlib.decompressobj(-15).decompress(data, out_size)
-        return out
+        try:
+            return zlib.decompressobj(-15).decompress(data, out_size)
+        except zlib.error as e:
+            raise QzError(QZ_DATA_ERROR, f"7z: bad deflate stream: {e}") \
+                from None
     if coder.codec == CODEC_LZMA1:
         import lzma
         if len(coder.props) != 5:

@@ -42,6 +42,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 HASH_BITS = 15
 HASH_MUL = np.uint32(2654435761)
 
@@ -57,6 +61,17 @@ def _word4(data_pad: jnp.ndarray, n: int) -> jnp.ndarray:
             | (d[:, 3:n + 3] << 24))
 
 
+CTX_WORDS = 4          # 16 bytes of match context carried through the sort
+CTX_BYTES = CTX_WORDS * 4
+
+
+def _shl(x: jnp.ndarray, k: int, fill):
+    """x shifted left by k along axis 1 (x[i] -> x[i+k]), padded with fill."""
+    b, n = x.shape
+    return jnp.concatenate(
+        [x[:, k:], jnp.full((b, k), fill, x.dtype)], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "min_match", "max_match",
                                              "window"))
 def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
@@ -64,76 +79,78 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                   window: int = 32768) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tokenize a batch of chunks.
 
+    TPU cost model (measured on v5e): sorts and shifts are fast; arbitrary
+    per-element gathers/scatters serialize (~90ms per (128,64K) gather).
+    Every stage here is therefore sorts + shifts only:
+
+      * candidates: one stable sort of (hash<<16|pos) carrying 24 bytes of
+        per-position context; predecessors in sort order are the exact
+        most-recent previous occurrences, and match lengths up to 24 are
+        computed by comparing the CARRIED context words — zero gathers
+      * un-sort: a second sort keyed on position (a permutation)
+      * long matches: saturation doubling — a match saturated at length L
+        whose continuation position i+L holds a same-distance match chains
+        to L + ml[i+L]; i+L is a static shift, so lengths grow 24→48→…→
+        max_match with log rounds of pure shifts
+      * greedy parse + compaction: a single device walk emitting one token
+        per step (the only gathers left: one (B,)-element lookup per
+        emitted token), bounded by the token count, not the byte count
+
     Args:
       data: (B, n) uint8, zero-padded beyond per-row ``lengths``.
       lengths: (B,) int32 valid byte count per row.
-      n: static chunk capacity (power of two).
-      min_match: minimum match length (4: hash-4 candidates).
+      n: static chunk capacity (power of two, <= 65536).
+      min_match: minimum match length (>= 4; hash-4 candidates).
       max_match: cap on emitted match length (258 deflate, larger for LZ4).
-      window: max backward distance (32768 deflate, 65535 LZ4).
+      window: max backward distance (32768 deflate).
 
     Returns:
-      tokens: (B, n) uint32 packed tokens (see module docstring).
+      tokens: (B, n) uint32 packed tokens, compacted (see module docstring).
       ntok:   (B,) int32 token count per row.
     """
+    assert n <= 65536, "position field is 16 bits"
     b = data.shape[0]
     lengths = lengths.astype(jnp.int32)
-    pad = jnp.zeros((b, 8), jnp.uint8)
-    data_pad = jnp.concatenate([data, pad], axis=1)
-    w4 = _word4(data_pad, n)
+    pad = jnp.zeros((b, CTX_BYTES + 8), jnp.uint8)
+    dp = jnp.concatenate([data, pad], axis=1).astype(jnp.uint32)
+
+    def word4(off):
+        return (dp[:, off:off + n]
+                | (dp[:, off + 1:off + 1 + n] << 8)
+                | (dp[:, off + 2:off + 2 + n] << 16)
+                | (dp[:, off + 3:off + 3 + n] << 24))
+
+    ctx = [word4(4 * k) for k in range(CTX_WORDS)]
+    w4 = ctx[0]
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
-    valid_pos = iota < lengths[:, None]
-    # positions that can start a hash-4 match
     hashable = (iota + min_match) <= lengths[:, None]
 
-    h = ((w4 * HASH_MUL) >> np.uint32(32 - HASH_BITS)).astype(jnp.int32)
-    # shove unhashable positions into a private overflow bucket so they
-    # never become candidates for (or steal predecessors from) real ones
-    h = jnp.where(hashable, h, np.int32(1 << HASH_BITS))
+    h = ((w4 * HASH_MUL) >> np.uint32(32 - HASH_BITS)).astype(jnp.uint32)
+    # unhashable positions go to a private overflow bucket
+    h = jnp.where(hashable, h, np.uint32(1 << HASH_BITS))
 
-    # --- candidate: exact most-recent previous occurrence of h ------------
-    # stable sort by hash carries positions ascending within a bucket
-    h_s, pos_s = jax.lax.sort((h, iota), dimension=1, is_stable=True,
-                              num_keys=1)
-    same1 = h_s[:, 1:] == h_s[:, :-1]
-    cand_s = jnp.where(same1, pos_s[:, :-1], -1)
-    cand_s = jnp.concatenate(
-        [jnp.full((b, 1), -1, jnp.int32), cand_s], axis=1)
-    # second-most-recent occurrence as an alternate candidate
-    same2 = h_s[:, 2:] == h_s[:, :-2]
-    cand2_s = jnp.where(same2, pos_s[:, :-2], -1)
-    cand2_s = jnp.concatenate(
-        [jnp.full((b, 2), -1, jnp.int32), cand2_s], axis=1)
+    # --- sort by (hash, pos); context rides along -------------------------
+    key = (h << 16) | iota.astype(jnp.uint32)
+    sorted_ops = jax.lax.sort((key, *ctx), dimension=1, num_keys=1)
+    key_s, ctx_s = sorted_ops[0], sorted_ops[1:]
+    pos_s = (key_s & 0xFFFF).astype(jnp.int32)
+    h_s = key_s >> 16
 
-    def _scatter_back(ps, cs):
-        return jnp.zeros((n,), jnp.int32).at[ps].set(cs)
-
-    cand = jax.vmap(_scatter_back)(pos_s, cand_s)
-    cand2 = jax.vmap(_scatter_back)(pos_s, cand2_s)
-
-    def _match_len(cj):
-        dist = iota - cj
-        ok = (cj >= 0) & (dist >= 1) & (dist <= window) & hashable
-        cjc = jnp.clip(cj, 0, n - 1)
-        ok = ok & (jnp.take_along_axis(w4, cjc, axis=1) == w4)
-        ml0 = jnp.where(ok, min_match, 0).astype(jnp.int32)
-        # hash-4 guarantees only 4 verified bytes even if min_match < 4
-        # (min_match >= 4 enforced by callers)
-
-        max_iters = (max_match - min_match) // 4 + 2
-
-        def cond(state):
-            _ml, alive, it = state
-            return jnp.any(alive) & (it < max_iters)
-
-        def body(state):
-            ml, alive, it = state
-            ia = jnp.clip(iota + ml, 0, n - 1)
-            ja = jnp.clip(cjc + ml, 0, n - 1)
-            wi = jnp.take_along_axis(w4, ia, axis=1)
-            wj = jnp.take_along_axis(w4, ja, axis=1)
-            x = wi ^ wj
+    def cand_at(delta):
+        """Match (len, dist) against the delta-th predecessor in the same
+        hash bucket — pure shifts over the sorted operands."""
+        zpad = jnp.zeros((b, delta), jnp.uint32)
+        same = jnp.concatenate(
+            [jnp.zeros((b, delta), bool),
+             h_s[:, delta:] == h_s[:, :-delta]], axis=1)
+        dist = pos_s - jnp.concatenate(
+            [jnp.zeros((b, delta), jnp.int32), pos_s[:, :-delta]], axis=1)
+        ml = jnp.zeros((b, n), jnp.int32)
+        alive = same
+        for k in range(CTX_WORDS):
+            prev = jnp.concatenate([zpad, ctx_s[k][:, :-delta]], axis=1)
+            x = ctx_s[k] ^ prev
             full = (x == 0) & alive
             partial = jnp.where(
                 alive & ~full,
@@ -142,61 +159,73 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                 + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
                 0)
             ml = ml + jnp.where(full, 4, partial)
-            alive = full & (ml < max_match) & ((iota + ml) < n)
-            return ml, alive, it + 1
+            alive = full
+        ok = same & (dist >= 1) & (dist <= window) & (ml >= min_match)
+        return jnp.where(ok, ml, 0), jnp.where(ok, dist, 1)
 
-        alive0 = ok & ((iota + min_match) < n)
-        ml, _, _ = jax.lax.while_loop(cond, body,
-                                      (ml0, alive0, jnp.int32(0)))
-        ml = jnp.minimum(ml, max_match)
-        ml = jnp.minimum(ml, lengths[:, None] - iota)
-        return jnp.where(ok, ml, 0), dist
+    # probe the 4 most recent same-hash predecessors (the reference's L1
+    # analog limits chain depth similarly — zlib max_chain≈4 at level 1);
+    # keep the longest match, nearest on ties
+    ml_s, dist_s = cand_at(1)
+    for delta in (2, 3, 4):
+        mld, distd = cand_at(delta)
+        better = mld > ml_s
+        ml_s = jnp.where(better, mld, ml_s)
+        dist_s = jnp.where(better, distd, dist_s)
 
-    ml1, dist1 = _match_len(cand)
-    ml2, dist2 = _match_len(cand2)
-    # prefer the nearer candidate on ties (cheaper distance codes)
-    use2 = ml2 > ml1
-    ml = jnp.where(use2, ml2, ml1)
-    dist = jnp.where(use2, dist2, dist1)
+    # --- un-sort by position (a permutation → exact) ----------------------
+    # pack (ml, dist-1) into one operand: sort compile/run cost grows with
+    # operand count (ml needs <=15 bits even for LZ4's cap, dist-1 <=15
+    # bits for the 32K window)
+    packed = (ml_s.astype(jnp.uint32) << 15) | (dist_s - 1).astype(jnp.uint32)
+    _, packed_p = jax.lax.sort(
+        (pos_s.astype(jnp.uint32), packed), dimension=1, num_keys=1)
+    ml = (packed_p >> 15).astype(jnp.int32)
+    dist = (packed_p & 0x7FFF).astype(jnp.int32) + 1
+
+    # --- saturation-doubling extension (pure shifts) ----------------------
+    cap = CTX_BYTES
+    while cap < max_match:
+        nml = _shl(ml, cap, 0)
+        ndist = _shl(dist, cap, 0)
+        cont = (ml == cap) & (ndist == dist) & (nml >= min_match)
+        ml = jnp.where(cont, jnp.minimum(cap + nml, max_match), ml)
+        cap *= 2
+
+    ml = jnp.minimum(ml, lengths[:, None] - iota)
     is_match = ml >= min_match
+    ml = jnp.where(is_match, ml, 0)
 
-    # --- greedy parse by pointer doubling ---------------------------------
-    step = jnp.where(is_match, ml, 1)
-    nxt = jnp.minimum(iota + step, n)
-    sentinel = jnp.full((b, 1), n, jnp.int32)
-    ptr = jnp.concatenate([nxt, sentinel], axis=1)          # (B, n+1)
-    mark = jnp.zeros((b, n + 1), jnp.int32).at[:, 0].set(1)
-    rounds = max(1, (n).bit_length())                        # ceil(log2)+1
-
-    def parse_round(_, state):
-        mark, ptr = state
-        t = jnp.where(mark == 1, ptr, n)
-
-        def scat(m, tt):
-            return m.at[tt].max(m)
-
-        mark = jax.vmap(scat)(mark, t)
-        ptr = jnp.take_along_axis(ptr, ptr, axis=1)
-        return mark, ptr
-
-    mark, _ = jax.lax.fori_loop(0, rounds, parse_round, (mark, ptr))
-    emit = (mark[:, :n] == 1) & valid_pos
-
-    # --- token pack + compaction ------------------------------------------
+    # --- token plane -------------------------------------------------------
     lit_tok = data[:, :n].astype(jnp.uint32)
     match_tok = (TOK_MATCH_BIT
                  | (ml.astype(jnp.uint32) << 16)
                  | (dist - 1).astype(jnp.uint32))
     tok = jnp.where(is_match, match_tok, lit_tok)
+    step = jnp.where(is_match, ml, 1)
 
-    idx = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
-    ntok = jnp.sum(emit.astype(jnp.int32), axis=1)
-    t_idx = jnp.where(emit, idx, n)
+    # --- greedy parse walk: one token per iteration -----------------------
+    def cond(state):
+        pos, t, _out, _ntok = state
+        return jnp.any(pos < lengths) & (t < n)
 
-    def scat_tok(tt, tk):
-        return jnp.zeros((n + 1,), jnp.uint32).at[tt].set(tk)
+    def body(state):
+        pos, t, out, ntok = state
+        active = pos < lengths
+        pc = jnp.clip(pos, 0, n - 1)[:, None]
+        cur = jnp.take_along_axis(tok, pc, axis=1)          # (B,1)
+        st = jnp.take_along_axis(step, pc, axis=1)[:, 0]
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(active[:, None], cur, jnp.uint32(0)), (0, t))
+        ntok = ntok + active.astype(jnp.int32)
+        pos = jnp.where(active, pos + st, pos)
+        return pos, t + 1, out, ntok
 
-    tokens = jax.vmap(scat_tok)(t_idx, tok)[:, :n]
+    pos0 = jnp.zeros((b,), jnp.int32)
+    out0 = jnp.zeros((b, n), jnp.uint32)
+    ntok0 = jnp.zeros((b,), jnp.int32)
+    _, _, tokens, ntok = jax.lax.while_loop(
+        cond, body, (pos0, jnp.int32(0), out0, ntok0))
     return tokens, ntok
 
 

@@ -64,10 +64,14 @@ class TpuEngine:
 
     # -- device stage ---------------------------------------------------------
     def _tokenize_tiles(self, chunks: Sequence[bytes], n: int, algorithm: str):
-        """Yield (tile_start, np tokens (b,n) u32, np ntok (b,)) per tile.
+        """Yield (tile_start, np tokens (b,k) u32, np ntok (b,)) per tile.
 
         All tiles are dispatched eagerly; XLA's async queue overlaps the
         device work with the caller's host-side packing of earlier tiles.
+        The fetch is two-phase: ntok (tiny) first, then only the used token
+        prefix, rounded to a bucket so slice programs stay cached — device→
+        host bandwidth is the scarce resource (SURVEY.md §5: host transfer
+        minimization is the pinned-memory analog).
         """
         import jax.numpy as jnp
         from ..ops.lz77 import lz77_tokenize
@@ -87,7 +91,16 @@ class TpuEngine:
                                        jnp.asarray(lengths), n=n, **params)
             pending.append((start, len(tile), toks, ntok))
         for start, nt, toks, ntok in pending:
-            yield start, nt, np.asarray(toks), np.asarray(ntok)
+            ntok_np = np.asarray(ntok)
+            kmax = int(ntok_np.max()) if nt else 0
+            k = n
+            if kmax < n:
+                # bucket the slice length: power-of-two, min 1024
+                k = 1024
+                while k < kmax:
+                    k <<= 1
+                k = min(k, n)
+            yield start, nt, np.asarray(toks[:, :k]), ntok_np
 
     # -- public engine interface ----------------------------------------------
     def compress_chunks(self, chunks: Sequence[bytes], *, level: int,

@@ -22,6 +22,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from ..utils.jaxcache import ensure_compile_cache
+
+ensure_compile_cache()
+
 
 def make_mesh(devices=None, axis: str = "dp"):
     """Build a 1-D chunk-DP mesh over all (or the given) devices."""

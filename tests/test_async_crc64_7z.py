@@ -1,0 +1,214 @@
+"""Tests for the async engine, CRC64/metadata APIs, 7z container and CLIs."""
+
+import os
+import threading
+import zlib
+
+import pytest
+
+os.environ.setdefault("QZTPU_FORCE_SW", "0")
+
+from qatzip_tpu import (  # noqa: E402
+    QzSession, QzError, params as P,
+    AQzSession, aqz_init, aqz_stop, AQZ_OK,
+    Crc64, Crc64Config, qz_compress_crc64, qz_decompress_crc64,
+    qz_set_session_crc64_config, qz_get_session_crc64_config,
+    qz_allocate_metadata, qz_metadata_block_read, qz_metadata_block_write,
+    qz_compress_with_metadata,
+)
+from qatzip_tpu.constants import QZ_OK, QZ_OUT_OF_RANGE  # noqa: E402
+
+
+# --- async engine -----------------------------------------------------------
+
+def test_async_compress_ordered_callbacks():
+    assert aqz_init(num_threads=2) == QZ_OK
+    try:
+        sess = AQzSession()
+        sess.setup_deflate()
+        data = [(b"piece-%d " % i) * 500 for i in range(16)]
+        results = {}
+        done = threading.Event()
+
+        def cb(external, src, dest, rc, crc):
+            results[external] = (rc, dest, crc)
+            if len(results) == len(data):
+                done.set()
+
+        for i, piece in enumerate(data):
+            assert sess.compress(piece, cb, external=i) == AQZ_OK
+        assert done.wait(timeout=60)
+        blob = b"".join(results[i][1] for i in range(len(data)))
+        # multi-member gzip decodes through a plain session
+        d = QzSession()
+        d.setup_deflate()
+        assert d.decompress(blob) == b"".join(data)
+        for i, piece in enumerate(data):
+            assert results[i][0] == QZ_OK
+            assert results[i][2] == (zlib.crc32(piece) & 0xFFFFFFFF)
+    finally:
+        aqz_stop()
+
+
+def test_async_decompress_and_no_space():
+    from qatzip_tpu.async_engine import AQzRuntime, _Request
+    from qatzip_tpu.constants import Direction
+
+    rt = AQzRuntime()
+    assert rt.init(num_threads=1, ring_depth=2) == QZ_OK
+    try:
+        sess = QzSession()
+        sess.setup_deflate()
+        comp = sess.compress(b"hello async world " * 100)
+        got = {}
+        ev = threading.Event()
+
+        def cb(external, src, dest, rc, crc):
+            got["out"] = (rc, dest)
+            ev.set()
+
+        rc = rt.submit(_Request(seq=0, session=sess,
+                                direction=Direction.DIR_DECOMPRESS,
+                                src=comp, callback=cb, external=None))
+        assert rc == AQZ_OK
+        assert ev.wait(timeout=30)
+        assert got["out"][0] == QZ_OK
+        assert got["out"][1] == b"hello async world " * 100
+    finally:
+        rt.stop()
+
+
+# --- crc64 / metadata -------------------------------------------------------
+
+def test_crc64_check_vectors():
+    assert Crc64()(b"123456789") == 0x6C40DF5F0B497347  # CRC-64/ECMA-182
+    xz = Crc64(Crc64Config(initial_value=(1 << 64) - 1, reflect_in=True,
+                           reflect_out=True, xor_out=(1 << 64) - 1))
+    assert xz(b"123456789") == 0x995DC9BBDF1939FA       # CRC-64/XZ
+
+
+def test_session_crc64_roundtrip():
+    sess = QzSession()
+    sess.setup_deflate()
+    cfg = qz_get_session_crc64_config(sess)
+    assert cfg.polynomial == 0x42F0E1EBA9EA3693
+    assert qz_set_session_crc64_config(
+        sess, Crc64Config(initial_value=(1 << 64) - 1, reflect_in=True,
+                          reflect_out=True, xor_out=(1 << 64) - 1)) == QZ_OK
+    data = b"crc64 payload " * 300
+    rc, out, crc = qz_compress_crc64(sess, data)
+    assert rc == QZ_OK and crc == Crc64(qz_get_session_crc64_config(sess))(data)
+    d = QzSession()
+    d.setup_deflate()
+    rc, dec, _dcrc = qz_decompress_crc64(d, out)
+    assert rc == QZ_OK and dec == data
+
+
+def test_metadata_blocks():
+    data = (b"meta " * 40000)  # ~200KB → 4 chunks at 64KB
+    md = qz_allocate_metadata(len(data), 64 * 1024)
+    assert len(md.blocks) == 4
+    sess = QzSession()
+    sess.setup_deflate()
+    rc, out = qz_compress_with_metadata(sess, data, md)
+    assert rc == QZ_OK
+    total = 0
+    from qatzip_tpu.ops import xxh32
+    for i in range(4):
+        off, size, flags, h = qz_metadata_block_read(i, md)
+        assert flags == 1 and size > 0
+        assert h == xxh32(data[i * 65536:(i + 1) * 65536])
+        total += size
+    assert total == len(out)
+    assert qz_metadata_block_write(1, md, block_flags=0) == QZ_OK
+    assert qz_metadata_block_read(1, md)[2] == 0
+    with pytest.raises(QzError):
+        qz_metadata_block_read(99, md)
+
+
+# --- 7z container -----------------------------------------------------------
+
+def test_7z_roundtrip(tmp_path):
+    from qatzip_tpu.formats.sevenzip import create_7z, extract_7z, list_7z
+
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_bytes(b"alpha " * 1000)
+    (src / "sub" / "b.bin").write_bytes(bytes(range(256)) * 50)
+    (src / "empty.txt").write_bytes(b"")
+
+    arc = tmp_path / "t.7z"
+    sess = QzSession()
+    sess.setup_deflate()
+    create_7z([str(src)], str(arc), sess)
+
+    names = {f["name"] for f in list_7z(str(arc))}
+    assert {"src", "src/a.txt", "src/sub", "src/sub/b.bin",
+            "src/empty.txt"} <= names
+
+    out = tmp_path / "out"
+    out.mkdir()
+    extract_7z(str(arc), str(out))
+    assert (out / "src" / "a.txt").read_bytes() == b"alpha " * 1000
+    assert (out / "src" / "sub" / "b.bin").read_bytes() == bytes(range(256)) * 50
+    assert (out / "src" / "empty.txt").read_bytes() == b""
+
+
+def test_7z_crc_detects_corruption(tmp_path):
+    from qatzip_tpu.formats.sevenzip import create_7z, extract_7z
+
+    f = tmp_path / "x.dat"
+    f.write_bytes(b"payload " * 5000)
+    arc = tmp_path / "x.7z"
+    create_7z([str(f)], str(arc))
+    blob = bytearray(arc.read_bytes())
+    blob[40] ^= 0xFF  # flip a byte inside the packed stream
+    arc.write_bytes(bytes(blob))
+    out = tmp_path / "o"
+    out.mkdir()
+    with pytest.raises(QzError):
+        extract_7z(str(arc), str(out))
+
+
+# --- CLIs (in-process) ------------------------------------------------------
+
+def test_qzip_cli_roundtrip(tmp_path, monkeypatch):
+    from qatzip_tpu.cli import qzip as cli
+
+    monkeypatch.chdir(tmp_path)
+    p = tmp_path / "f.txt"
+    p.write_bytes(b"cli round trip " * 4000)
+    assert cli.main(["-k", str(p)]) == 0
+    gz = tmp_path / "f.txt.gz"
+    assert gz.exists()
+    import gzip as _gz
+    assert _gz.decompress(gz.read_bytes()) == b"cli round trip " * 4000
+    p.unlink()
+    assert cli.main(["-d", str(gz)]) == 0
+    assert p.read_bytes() == b"cli round trip " * 4000
+
+
+def test_qzstd_cli_roundtrip(tmp_path):
+    from qatzip_tpu.cli import qzstd as cli
+
+    p = tmp_path / "z.txt"
+    p.write_bytes(b"zstd bridge " * 9000)
+    assert cli.main(["-k", str(p)]) == 0
+    z = tmp_path / "z.txt.zst"
+    assert z.exists()
+    p.unlink()
+    assert cli.main(["-d", str(z)]) == 0
+    assert p.read_bytes() == b"zstd bridge " * 9000
+
+
+def test_qztest_driver_modes():
+    import subprocess
+    import sys
+    env = dict(os.environ, QZTPU_FORCE_SW="1")
+    for mode in ("4", "5", "9", "17", "18", "19", "21"):
+        r = subprocess.run(
+            [sys.executable, "tools/qztest.py", "-m", mode, "-t", "2",
+             "-l", "3", "-b", "16384", "-v"],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd=os.path.join(os.path.dirname(__file__), ".."))
+        assert r.returncode == 0, f"mode {mode}: {r.stdout} {r.stderr}"
