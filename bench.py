@@ -80,14 +80,25 @@ def _device_pipeline_gbps(corpus: bytes, iters: int) -> float:
     for i in range(b):
         data[i] = np.frombuffer(view[i * n:(i + 1) * n], np.uint8)
     lengths = np.full(b, n, np.int32)
+    import functools
+
     dd = jax.device_put(data)
     ll = jax.device_put(lengths)
-    toks, ntok = lz77_tokenize(dd, ll, n=n)
-    jax.block_until_ready(ntok)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def step(data, lengths, n):
+        toks, ntok = lz77_tokenize(data, lengths, n=n)
+        return jnp.sum(toks.astype(jnp.uint32)) + jnp.sum(ntok).astype(
+            jnp.uint32)
+
+    # NOTE: on the axon relay block_until_ready does not wait for remote
+    # execution — materialize a scalar each iteration. (Chaining outputs
+    # into one final sync measures slower on the relay, so per-iteration
+    # sync is both the honest and the tighter measure.)
+    int(step(dd, ll, n))
     t0 = time.perf_counter()
     for _ in range(iters):
-        toks, ntok = lz77_tokenize(dd, ll, n=n)
-    jax.block_until_ready(ntok)
+        int(step(dd, ll, n))
     dt = (time.perf_counter() - t0) / iters
     return b * n / dt / 1e9
 

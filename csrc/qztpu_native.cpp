@@ -713,13 +713,17 @@ int rle_code_lengths(const uint8_t* lens, int n, CLOp* ops) {
 const uint8_t CL_ORDER[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
                               11, 4, 12, 3, 13, 2, 14, 1, 15};
 
-// token unpack helpers (packed u32 tokens from the TPU pipeline:
-// bit31 match flag, [16,31) match length, [0,16) dist-1; literal byte in
-// bits [0,8))
+// token unpack helpers (packed u32 tokens from the TPU pipeline):
+//   match:        bit31=1, [16,31) match length, [0,16) dist-1
+//   literal run:  bit31=0 bit30=1, [0,14) run length (bytes read from src
+//                 at the running position)
+//   literal byte: bit31=0 bit30=0, [0,8) byte
 static inline bool tok_is_match(uint32_t t) { return (t >> 31) != 0; }
+static inline bool tok_is_litrun(uint32_t t) { return (t >> 30) == 1; }
 static inline int tok_len(uint32_t t) { return (int)((t >> 16) & 0x7FFF); }
 static inline int tok_dist(uint32_t t) { return (int)(t & 0xFFFF) + 1; }
 static inline int tok_lit(uint32_t t) { return (int)(t & 0xFF); }
+static inline int tok_runlen(uint32_t t) { return (int)(t & 0x3FFF); }
 
 }  // namespace
 
@@ -765,18 +769,28 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
   // ----- histograms ------------------------------------------------------
   uint32_t lfreq[288] = {0}, dfreq[30] = {0};
   uint64_t extra_bits = 0;
-  for (int64_t i = 0; i < ntok; ++i) {
-    uint32_t t = toks[i];
-    if (tok_is_match(t)) {
-      int len = tok_len(t);
-      int lc = len_code_lut[len];
-      lfreq[257 + lc]++;
-      extra_bits += LEN_EXTRA[lc];
-      int dc = dist_code(tok_dist(t));
-      dfreq[dc]++;
-      extra_bits += DIST_EXTRA[dc];
-    } else {
-      lfreq[tok_lit(t)]++;
+  {
+    int64_t pos = 0;
+    for (int64_t i = 0; i < ntok; ++i) {
+      uint32_t t = toks[i];
+      if (tok_is_match(t)) {
+        int len = tok_len(t);
+        int lc = len_code_lut[len];
+        lfreq[257 + lc]++;
+        extra_bits += LEN_EXTRA[lc];
+        int dc = dist_code(tok_dist(t));
+        dfreq[dc]++;
+        extra_bits += DIST_EXTRA[dc];
+        pos += len;
+      } else if (tok_is_litrun(t)) {
+        int run = tok_runlen(t);
+        if (pos + run > n) return -2;
+        for (int k = 0; k < run; ++k) lfreq[src[pos + k]]++;
+        pos += run;
+      } else {
+        lfreq[tok_lit(t)]++;
+        ++pos;
+      }
     }
   }
   lfreq[256]++;  // EOB
@@ -832,6 +846,7 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
   } else if (choice == 1) {
     bw.put(final_block ? 1u : 0u, 1);
     bw.put(1u, 2);
+    int64_t pos = 0;
     for (int64_t i = 0; i < ntok && !bw.overflow; ++i) {
       uint32_t t = toks[i];
       uint32_t code; int nb;
@@ -845,9 +860,18 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
         int dc = dist_code(d);
         bw.put(bitrev((uint32_t)dc, 5), 5);
         if (DIST_EXTRA[dc]) bw.put((uint32_t)(d - DIST_BASE[dc]), DIST_EXTRA[dc]);
+        pos += len;
+      } else if (tok_is_litrun(t)) {
+        int run = tok_runlen(t);
+        for (int k = 0; k < run && !bw.overflow; ++k) {
+          static_lit_code(src[pos + k], &code, &nb);
+          bw.put(code, nb);
+        }
+        pos += run;
       } else {
         static_lit_code(tok_lit(t), &code, &nb);
         bw.put(code, nb);
+        ++pos;
       }
     }
     uint32_t code; int nb;
@@ -867,6 +891,7 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
       bw.put(clcode[ops[i].sym], cllen[ops[i].sym]);
       if (ops[i].extra_bits) bw.put(ops[i].extra, ops[i].extra_bits);
     }
+    int64_t pos = 0;
     for (int64_t i = 0; i < ntok && !bw.overflow; ++i) {
       uint32_t t = toks[i];
       if (tok_is_match(t)) {
@@ -878,9 +903,18 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
         int dc = dist_code(d);
         bw.put(dcode[dc], dlen[dc]);
         if (DIST_EXTRA[dc]) bw.put((uint32_t)(d - DIST_BASE[dc]), DIST_EXTRA[dc]);
+        pos += len;
+      } else if (tok_is_litrun(t)) {
+        int run = tok_runlen(t);
+        for (int k = 0; k < run && !bw.overflow; ++k) {
+          int lit = src[pos + k];
+          bw.put(lcode[lit], llen[lit]);
+        }
+        pos += run;
       } else {
         int lit = tok_lit(t);
         bw.put(lcode[lit], llen[lit]);
+        ++pos;
       }
     }
     bw.put(lcode[256], llen[256]);
@@ -916,7 +950,10 @@ int64_t qz_lz4_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
   int64_t pos = 0, anchor = 0;
   for (int64_t i = 0; i < ntok; ++i) {
     uint32_t t = toks[i];
-    if (!tok_is_match(t)) { ++pos; continue; }
+    if (!tok_is_match(t)) {
+      pos += tok_is_litrun(t) ? tok_runlen(t) : 1;
+      continue;
+    }
     int ml = tok_len(t);
     int dist = tok_dist(t);
     int64_t advance = ml;
@@ -966,7 +1003,10 @@ int64_t qz_lz4s_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
   int64_t pos = 0, anchor = 0;
   for (int64_t i = 0; i < ntok; ++i) {
     uint32_t t = toks[i];
-    if (!tok_is_match(t)) { ++pos; continue; }
+    if (!tok_is_match(t)) {
+      pos += tok_is_litrun(t) ? tok_runlen(t) : 1;
+      continue;
+    }
     int ml = tok_len(t);
     int dist = tok_dist(t);
     size_t lit = (size_t)(pos - anchor);

@@ -9,25 +9,27 @@ TPU-first design — no translation of the C hash-chain loop (which would be
 a scalar serial loop, death on a vector machine). Every stage is a dense
 vector op over the full (batch, chunk) plane:
 
-  1. word packing      — w4[i] = 4 bytes at i, pure shifts/ORs (VPU)
-  2. hashing           — multiplicative hash of w4 (VPU)
-  3. candidate search  — *exact* most-recent-previous-occurrence per hash
-                         via one stable sort of (hash, pos) per row; the
-                         predecessor in sort order is the latest j < i with
-                         the same hash.  Replaces the serial hash-table
-                         insert of the reference (src/qatzip.c LZ77 done in
-                         QAT silicon; src/qatzip_sw.c via zlib).
-  4. match extension   — 4-byte-word compare loop: a fixed prologue plus a
-                         bounded while_loop that exits when every lane's
-                         match has ended (the data-dependent part is a
-                         whole-batch reduction, not per-lane control flow)
-  5. greedy parse      — pointer doubling (log2(N) rounds of gather+scatter)
-                         computes exactly the sequential greedy cover
-  6. token compaction  — prefix-sum + scatter into a dense token stream
+  1. word packing      — context words at each position, pure shifts (VPU)
+  2. hashing           — multiplicative hash of the 4-byte word (VPU)
+  3. candidate search  — the k most-recent previous occurrences per hash
+                         via ONE stable sort of (hash<<16|pos) that carries
+                         16 bytes of context; bucket predecessors are plain
+                         shifts in the sorted domain, and match lengths
+                         come from comparing the carried context — replaces
+                         the serial hash-chain of the reference (QAT
+                         silicon / zlib) with zero gathers
+  4. un-sort           — a second (permutation) sort keyed on position
+  5. long matches      — saturation doubling over static shifts
+                         (16→32→…→max_match), plus lazy-matching demotion
+  6. parse+compaction  — a device walk emitting one token (match or
+                         literal-RUN) per step, bounded by token count
 
 Output tokens are packed uint32:
-  literal:  bit31=0, byte in bits [0,8)
-  match:    bit31=1, match length in bits [16,31), (dist-1) in bits [0,16)
+  match:        bit31=1, match length in bits [16,31), (dist-1) in [0,16)
+  literal run:  bit31=0, bit30=1, run length in bits [0,14) — the run's
+                bytes are read from the source at the token's running
+                position (consumers track position)
+  literal byte: bit31=0, bit30=0, byte in bits [0,8) (legacy single)
 
 The host-side entropy stage (Huffman bit-packing / LZ4 byte emit) consumes
 these tokens; see csrc/qztpu_native.cpp and parallel/dispatch.py.
@@ -50,6 +52,8 @@ HASH_BITS = 15
 HASH_MUL = np.uint32(2654435761)
 
 TOK_MATCH_BIT = np.uint32(0x80000000)
+TOK_LITRUN_BIT = np.uint32(0x40000000)
+LITRUN_MAX = 16383
 
 
 def _word4(data_pad: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -68,15 +72,18 @@ CTX_BYTES = CTX_WORDS * 4
 def _shl(x: jnp.ndarray, k: int, fill):
     """x shifted left by k along axis 1 (x[i] -> x[i+k]), padded with fill."""
     b, n = x.shape
+    if k >= n:
+        return jnp.full((b, n), fill, x.dtype)
     return jnp.concatenate(
         [x[:, k:], jnp.full((b, k), fill, x.dtype)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "min_match", "max_match",
-                                             "window"))
+                                             "window", "parse_seg"))
 def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                   min_match: int = 4, max_match: int = 258,
-                  window: int = 32768) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  window: int = 32768, parse_seg: int = 8192,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tokenize a batch of chunks.
 
     TPU cost model (measured on v5e): sorts and shifts are fast; arbitrary
@@ -105,8 +112,9 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
       window: max backward distance (32768 deflate).
 
     Returns:
-      tokens: (B, n) uint32 packed tokens, compacted (see module docstring).
-      ntok:   (B,) int32 token count per row.
+      tokens: (B, n) uint32 packed tokens; each parse segment's tokens are
+              compacted at its own offset (s*parse_seg for segment s).
+      ntok:   (B, n // parse_seg) int32 token count per parse segment.
     """
     assert n <= 65536, "position field is 16 bits"
     b = data.shape[0]
@@ -185,7 +193,7 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
 
     # --- saturation-doubling extension (pure shifts) ----------------------
     cap = CTX_BYTES
-    while cap < max_match:
+    while cap < max_match and cap < n:
         nml = _shl(ml, cap, 0)
         ndist = _shl(dist, cap, 0)
         cont = (ml == cap) & (ndist == dist) & (nml >= min_match)
@@ -196,47 +204,118 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     is_match = ml >= min_match
     ml = jnp.where(is_match, ml, 0)
 
+    # lazy matching (one shift): when the next position holds a strictly
+    # longer match, emit this position as a literal so the greedy walk
+    # takes the longer one — the zlib lazy-evaluation heuristic, which
+    # level 1 doesn't even apply, so this pushes ratio past the baseline
+    is_match = is_match & ~(_shl(ml, 1, 0) > ml)
+    ml = jnp.where(is_match, ml, 0)
+
+    # --- segment the PARSE (not the match search) -------------------------
+    # The walk's cost is (iterations × per-small-gather overhead); breaking
+    # each row into parse segments multiplies the rows the walk advances in
+    # parallel and divides its iteration count. Matches are trimmed at
+    # segment boundaries (distances still reach across segments, so decode
+    # semantics are untouched); ratio cost is ~avg_match/segment.
+    # NOTE: must precede the literal-run computation — trimmed matches
+    # become literals and need run coverage.
+    seg = min(parse_seg, n)
+    nseg = n // seg
+    seg_rem = seg - (iota % seg)
+    ml = jnp.minimum(ml, seg_rem)
+    is_match = is_match & (ml >= min_match)
+    ml = jnp.where(is_match, ml, 0)
+
     # --- token plane -------------------------------------------------------
-    lit_tok = data[:, :n].astype(jnp.uint32)
+    # literal RUN length starting at each position (saturation doubling,
+    # pure shifts) — runs collapse to one token each, cutting walk
+    # iterations, d2h volume and host-pack token traffic roughly in half
+    lr = jnp.where(is_match, 0, 1).astype(jnp.int32)
+
+    def lr_round(k, lr):
+        span = jnp.int32(1) << k
+        rolled = jnp.roll(lr, -span, axis=1)
+        nlr = jnp.where(iota + span < n, rolled, 0)
+        return jnp.where(lr == span, lr + nlr, lr)
+
+    lr = jax.lax.fori_loop(0, LITRUN_MAX.bit_length(), lr_round, lr)
+    lr = jnp.minimum(lr, LITRUN_MAX)
+    lr = jnp.minimum(lr, jnp.maximum(lengths[:, None] - iota, 0))
+    lr = jnp.minimum(lr, seg_rem)
+
+    run_tok = TOK_LITRUN_BIT | lr.astype(jnp.uint32)
     match_tok = (TOK_MATCH_BIT
                  | (ml.astype(jnp.uint32) << 16)
                  | (dist - 1).astype(jnp.uint32))
-    tok = jnp.where(is_match, match_tok, lit_tok)
-    step = jnp.where(is_match, ml, 1)
+    tok = jnp.where(is_match, match_tok, run_tok).reshape(b * nseg, seg)
 
-    # --- greedy parse walk: one token per iteration -----------------------
+    seg_off = jnp.arange(nseg, dtype=jnp.int32) * seg
+    seg_lengths = jnp.clip(lengths[:, None] - seg_off[None, :], 0,
+                           seg).reshape(b * nseg)
+
+    # --- greedy parse walk: UNROLL tokens per iteration -------------------
+    # the step is decoded from the token itself (one gather per token)
+    UNROLL = 8
+    rows = b * nseg
+
+    def tok_step(cur):
+        isl = (cur >> 30) == 1
+        ism = (cur >> 31) == 1
+        return jnp.where(ism, (cur >> 16) & 0x7FFF,
+                         jnp.where(isl, jnp.maximum(cur & 0x3FFF, 1),
+                                   1)).astype(jnp.int32)
+
     def cond(state):
         pos, t, _out, _ntok = state
-        return jnp.any(pos < lengths) & (t < n)
+        return jnp.any(pos < seg_lengths) & (t < seg)
 
     def body(state):
         pos, t, out, ntok = state
-        active = pos < lengths
-        pc = jnp.clip(pos, 0, n - 1)[:, None]
-        cur = jnp.take_along_axis(tok, pc, axis=1)          # (B,1)
-        st = jnp.take_along_axis(step, pc, axis=1)[:, 0]
+        cols = []
+        for _ in range(UNROLL):
+            active = pos < seg_lengths
+            pc = jnp.clip(pos, 0, seg - 1)[:, None]
+            cur = jnp.take_along_axis(tok, pc, axis=1)      # (rows,1)
+            st = tok_step(cur[:, 0])
+            cols.append(jnp.where(active[:, None], cur, jnp.uint32(0)))
+            ntok = ntok + active.astype(jnp.int32)
+            pos = jnp.where(active, pos + st, pos)
         out = jax.lax.dynamic_update_slice(
-            out, jnp.where(active[:, None], cur, jnp.uint32(0)), (0, t))
-        ntok = ntok + active.astype(jnp.int32)
-        pos = jnp.where(active, pos + st, pos)
-        return pos, t + 1, out, ntok
+            out, jnp.concatenate(cols, axis=1), (0, t))
+        return pos, t + UNROLL, out, ntok
 
-    pos0 = jnp.zeros((b,), jnp.int32)
-    out0 = jnp.zeros((b, n), jnp.uint32)
-    ntok0 = jnp.zeros((b,), jnp.int32)
+    pos0 = jnp.zeros((rows,), jnp.int32)
+    out0 = jnp.zeros((rows, seg), jnp.uint32)
+    ntok0 = jnp.zeros((rows,), jnp.int32)
     _, _, tokens, ntok = jax.lax.while_loop(
         cond, body, (pos0, jnp.int32(0), out0, ntok0))
-    return tokens, ntok
+    return tokens.reshape(b, n), ntok.reshape(b, nseg)
 
 
 # ---------------------------------------------------------------------------
-# Host-side reference decoder (test oracle)
+# Host-side helpers
 # ---------------------------------------------------------------------------
 
-def tokens_to_bytes(tokens: np.ndarray, ntok: int) -> bytes:
+def merge_segment_tokens(tokens_row: np.ndarray, ntok_row,
+                         parse_seg: int = 8192) -> np.ndarray:
+    """Concatenate one row's per-segment compacted token slices into a
+    single token stream (host-side; each slice is a contiguous memcpy)."""
+    segs = np.atleast_1d(np.asarray(ntok_row)).ravel()
+    tokens_row = np.asarray(tokens_row)
+    if segs.size == 1:
+        return tokens_row[: int(segs[0])]
+    parts = [tokens_row[s * parse_seg: s * parse_seg + int(c)]
+             for s, c in enumerate(segs) if int(c) > 0]
+    if not parts:
+        return np.zeros(0, np.uint32)
+    return np.concatenate(parts)
+
+
+def tokens_to_bytes(tokens: np.ndarray, ntok: int,
+                    src: bytes = b"") -> bytes:
     """Reconstruct the chunk from packed tokens — the CnV-style verify
     oracle (reference runs compress-and-verify on every op,
-    src/qatzip.c:1387)."""
+    src/qatzip.c:1387). ``src`` supplies literal-run bytes."""
     out = bytearray()
     for t in np.asarray(tokens[:ntok], dtype=np.uint32):
         t = int(t)
@@ -248,17 +327,12 @@ def tokens_to_bytes(tokens: np.ndarray, ntok: int) -> bytes:
                 raise ValueError("bad token distance")
             for k in range(ml):
                 out.append(out[start + k])
+        elif t & 0x40000000:
+            run = t & 0x3FFF
+            pos = len(out)
+            if pos + run > len(src):
+                raise ValueError("literal run past end of source")
+            out += src[pos:pos + run]
         else:
             out.append(t & 0xFF)
     return bytes(out)
-
-
-def unpack_tokens(tokens: np.ndarray, ntok: int):
-    """Split packed tokens into (lits u8, lens u16, dists u16) arrays for
-    the native bit-packers (len==0 marks a literal)."""
-    t = np.asarray(tokens[:ntok], dtype=np.uint32)
-    is_match = (t >> 31).astype(bool)
-    lens = np.where(is_match, (t >> 16) & 0x7FFF, 0).astype(np.uint16)
-    dists = np.where(is_match, (t & 0xFFFF) + 1, 0).astype(np.uint16)
-    lits = np.where(is_match, 0, t & 0xFF).astype(np.uint8)
-    return lits, lens, dists

@@ -77,6 +77,8 @@ class TpuEngine:
         from ..ops.lz77 import lz77_tokenize
 
         params = self._tok_params(algorithm)
+        seg = min(8192, n)
+        nseg = n // seg
         pending = []
         for start in range(0, len(chunks), TILE_B):
             tile = chunks[start:start + TILE_B]
@@ -88,19 +90,21 @@ class TpuEngine:
                 data[i, :len(a)] = a
                 lengths[i] = len(a)
             toks, ntok = lz77_tokenize(jnp.asarray(data),
-                                       jnp.asarray(lengths), n=n, **params)
+                                       jnp.asarray(lengths), n=n,
+                                       parse_seg=seg, **params)
             pending.append((start, len(tile), toks, ntok))
         for start, nt, toks, ntok in pending:
-            ntok_np = np.asarray(ntok)
+            ntok_np = np.asarray(ntok)               # (b, nseg)
             kmax = int(ntok_np.max()) if nt else 0
-            k = n
-            if kmax < n:
-                # bucket the slice length: power-of-two, min 1024
-                k = 1024
+            k = seg
+            if kmax < seg:
+                # bucket the per-segment slice: power-of-two, min 256
+                k = 256
                 while k < kmax:
                     k <<= 1
-                k = min(k, n)
-            yield start, nt, np.asarray(toks[:, :k]), ntok_np
+                k = min(k, seg)
+            toks3 = toks.reshape(toks.shape[0], nseg, seg)
+            yield start, nt, np.asarray(toks3[:, :, :k]), ntok_np
 
     # -- public engine interface ----------------------------------------------
     def compress_chunks(self, chunks: Sequence[bytes], *, level: int,
@@ -140,7 +144,13 @@ class TpuEngine:
         mode = 1 if huffman_static else 0  # 0 = best(stored/static/dynamic)
 
         def pack_one(args):
-            gi, chunk, toks, ntok = args
+            gi, chunk, seg_toks, seg_ntok = args
+            # merge per-parse-segment compacted slices (contiguous copies)
+            parts = [seg_toks[s, :int(c)]
+                     for s, c in enumerate(seg_ntok) if int(c) > 0]
+            toks = (np.concatenate(parts) if parts
+                    else np.zeros(0, np.uint32))
+            ntok = len(toks)
             if algorithm == "deflate":
                 payload = native.lib.deflate_pack(chunk, toks, ntok,
                                                   final=finals[gi], mode=mode)
@@ -161,7 +171,7 @@ class TpuEngine:
             for i in range(nt):
                 gi = start + i
                 futures.append(pool.submit(
-                    pack_one, (gi, chunks[gi], toks[i], int(ntok[i]))))
+                    pack_one, (gi, chunks[gi], toks[i], ntok[i])))
         for f in futures:
             gi, payload, crc = f.result()
             results[gi] = (payload, crc)

@@ -49,6 +49,7 @@ def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
 
     data_s = NamedSharding(mesh, P("dp", None))
     len_s = NamedSharding(mesh, P("dp"))
+    ntok_s = NamedSharding(mesh, P("dp", None))
 
     def step(data, lengths):
         toks, ntok = lz77_tokenize(data, lengths, n=n, min_match=min_match,
@@ -60,7 +61,7 @@ def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
         return toks, ntok, jnp.stack([total_tok, total_in])
 
     return jax.jit(step, in_shardings=(data_s, len_s),
-                   out_shardings=(data_s, len_s, None))
+                   out_shardings=(data_s, ntok_s, None))
 
 
 class _MeshKey:

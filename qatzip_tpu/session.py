@@ -290,6 +290,36 @@ def qz_max_compressed_length(src_sz: int, sess: Optional[QzSession] = None) -> i
     return _maxlen(src_sz)
 
 
+def qz_get_software_component_count() -> int:
+    """qzGetSoftwareComponentCount analog (the reference's returns QZ_FAIL,
+    src/qatzip.c:3406-3437; we report real components)."""
+    return len(qz_get_software_component_version_list())
+
+
+def qz_get_software_component_version_list() -> list:
+    """qzGetSoftwareComponentVersionList analog — real versions."""
+    import zlib as _zlib
+
+    from . import __version__ as _v
+    from .constants import API_VERSION
+
+    comps = [
+        {"name": "qatzip_tpu", "version": _v, "api": API_VERSION},
+        {"name": "zlib", "version": _zlib.ZLIB_VERSION},
+    ]
+    try:
+        import jax as _jax
+        comps.append({"name": "jax", "version": _jax.__version__})
+        comps.append({"name": "xla_backend",
+                      "version": get_runtime().platform or "uninitialized"})
+    except Exception:  # noqa: BLE001
+        pass
+    from . import native as _native
+    comps.append({"name": "qztpu_native",
+                  "version": "loaded" if _native.lib is not None else "absent"})
+    return comps
+
+
 def qz_get_status(sess: QzSession) -> dict:
     """qzGetStatus analog — reports real runtime state (the reference's is
     a stub returning nothing, src/qatzip.c:3062-3069; we do better)."""

@@ -12,7 +12,8 @@ import pytest
 
 import jax.numpy as jnp
 
-from qatzip_tpu.ops.lz77 import lz77_tokenize, tokens_to_bytes
+from qatzip_tpu.ops.lz77 import (lz77_tokenize, tokens_to_bytes,
+                                  merge_segment_tokens)
 from qatzip_tpu import native
 
 
@@ -51,10 +52,16 @@ def tokenized(sample_chunks):
     return np.asarray(toks), np.asarray(ntok)
 
 
+def _merged(toks, ntok, i):
+    m = merge_segment_tokens(toks[i], ntok[i], parse_seg=8192)
+    return m, len(m)
+
+
 def test_token_roundtrip(sample_chunks, tokenized):
     toks, ntok = tokenized
     for i, c in enumerate(sample_chunks):
-        assert tokens_to_bytes(toks[i], int(ntok[i])) == c
+        m, nm = _merged(toks, ntok, i)
+        assert tokens_to_bytes(m, nm, c) == c
 
 
 def test_deflate_pack_roundtrip_and_ratio(sample_chunks, tokenized):
@@ -63,8 +70,8 @@ def test_deflate_pack_roundtrip_and_ratio(sample_chunks, tokenized):
     toks, ntok = tokenized
     total_ours = total_zlib = 0
     for i, c in enumerate(sample_chunks):
-        payload = native.lib.deflate_pack(c, toks[i], int(ntok[i]),
-                                          final=True, mode=0)
+        m, nm = _merged(toks, ntok, i)
+        payload = native.lib.deflate_pack(c, m, nm, final=True, mode=0)
         assert zlib.decompressobj(-15).decompress(payload) == c
         total_ours += len(payload)
         total_zlib += max(len(zlib.compress(c, 1)) - 6, 1)
@@ -77,8 +84,8 @@ def test_deflate_pack_static_mode(sample_chunks, tokenized):
         pytest.skip("native lib unavailable")
     toks, ntok = tokenized
     for i, c in enumerate(sample_chunks):
-        payload = native.lib.deflate_pack(c, toks[i], int(ntok[i]),
-                                          final=True, mode=1)
+        m, nm = _merged(toks, ntok, i)
+        payload = native.lib.deflate_pack(c, m, nm, final=True, mode=1)
         assert zlib.decompressobj(-15).decompress(payload) == c
 
 
@@ -89,8 +96,10 @@ def test_deflate_nonfinal_sync_flush(sample_chunks, tokenized):
         pytest.skip("native lib unavailable")
     toks, ntok = tokenized
     c0, c1 = sample_chunks[0], sample_chunks[3]
-    p0 = native.lib.deflate_pack(c0, toks[0], int(ntok[0]), final=False)
-    p1 = native.lib.deflate_pack(c1, toks[3], int(ntok[3]), final=True)
+    m0, nm0 = _merged(toks, ntok, 0)
+    m3, nm3 = _merged(toks, ntok, 3)
+    p0 = native.lib.deflate_pack(c0, m0, nm0, final=False)
+    p1 = native.lib.deflate_pack(c1, m3, nm3, final=True)
     assert zlib.decompressobj(-15).decompress(p0 + p1) == c0 + c1
 
 
@@ -99,7 +108,8 @@ def test_lz4_pack_roundtrip(sample_chunks, tokenized):
         pytest.skip("native lib unavailable")
     toks, ntok = tokenized
     for i, c in enumerate(sample_chunks):
-        blk = native.lib.lz4_pack(c, toks[i], int(ntok[i]))
+        m, nm = _merged(toks, ntok, i)
+        blk = native.lib.lz4_pack(c, m, nm)
         assert native.lib.lz4_decompress_block(blk, len(c)) == c
 
 
@@ -109,7 +119,8 @@ def test_lz4s_pack_roundtrip(sample_chunks, tokenized):
     toks, ntok = tokenized
     for i, c in enumerate(sample_chunks):
         for mm in (3, 4):
-            blk = native.lib.lz4s_pack(c, toks[i], int(ntok[i]), mm)
+            m, nm = _merged(toks, ntok, i)
+            blk = native.lib.lz4s_pack(c, m, nm, mm)
             ll, ml, oo = native.lib.lz4s_decode_block(blk, mm)
             out = bytearray()
             pos = 0
@@ -196,7 +207,8 @@ def test_mesh_tokenize_8dev():
     toks, ntok, stats = mesh_tokenize(mesh, data, lengths, n=n)
     assert int(stats[1]) == int(lengths.sum())
     for i in range(b):
-        assert tokens_to_bytes(toks[i], int(ntok[i])) == rows[i][:n]
+        m = merge_segment_tokens(toks[i], ntok[i], parse_seg=8192)
+        assert tokens_to_bytes(m, len(m), rows[i][:n]) == rows[i][:n]
 
 
 def test_graft_entry():
