@@ -45,6 +45,8 @@ class _Request:
     callback: Callable
     external: object
     last: bool = True
+    hash_algo: Optional[str] = None   # chain/hash ops (aqzChainCompress)
+    hash_only: bool = False
 
 
 class AQzRuntime:
@@ -133,8 +135,14 @@ class AQzRuntime:
     def _process_group(reqs: List[_Request], direction: Direction):
         sess = reqs[0].session
         for r in sorted(reqs, key=lambda r: r.seq):
+            digest = None
             try:
-                if direction == Direction.DIR_COMPRESS:
+                if r.hash_algo is not None:
+                    import hashlib
+                    digest = hashlib.new(r.hash_algo, r.src).digest()
+                if r.hash_only:
+                    out, crc, rc = b"", 0, QZ_OK
+                elif direction == Direction.DIR_COMPRESS:
                     out, crc = sess.compress(r.src, last=r.last,
                                              with_crc=True)
                     rc = QZ_OK
@@ -147,7 +155,10 @@ class AQzRuntime:
             except Exception:  # noqa: BLE001
                 out, crc, rc = b"", 0, QZ_FAIL
             try:
-                r.callback(r.external, r.src, out, rc, crc)
+                if r.hash_algo is not None:
+                    r.callback(r.external, r.src, out, rc, crc, digest)
+                else:
+                    r.callback(r.external, r.src, out, rc, crc)
             except Exception:  # noqa: BLE001 — user callback must not kill
                 pass           # the worker (reference ignores cb errors)
 
@@ -204,6 +215,34 @@ class AQzSession:
         """aqzDecompress analog."""
         return self._submit(Direction.DIR_DECOMPRESS, src, callback,
                             external, True)
+
+    def chain_compress(self, src, callback, external=None,
+                       hash_algo: str = "sha256", last: bool = True) -> int:
+        """aqzChainCompress analog — hash + compress in one request; the
+        callback receives (external, src, dest, rc, crc, digest). The
+        reference declares this mode (QzFuncMode_T, include/qatzip.h:
+        2569-2576, aqzChainCompress :3107) with the body incomplete; ours
+        is functional."""
+        with self._lock:
+            seq = self._seq
+            self._seq += 1
+        return _aqz_runtime.submit(_Request(
+            seq=seq, session=self.session,
+            direction=Direction.DIR_COMPRESS, src=bytes(src),
+            callback=callback, external=external, last=last,
+            hash_algo=hash_algo))
+
+    def hash(self, src, callback, external=None,
+             hash_algo: str = "sha256") -> int:
+        """aqzHash analog (include/qatzip.h:3359) — digest-only request."""
+        with self._lock:
+            seq = self._seq
+            self._seq += 1
+        return _aqz_runtime.submit(_Request(
+            seq=seq, session=self.session,
+            direction=Direction.DIR_COMPRESS, src=bytes(src),
+            callback=callback, external=external, hash_algo=hash_algo,
+            hash_only=True))
 
     def teardown(self) -> int:
         return self.session.teardown()

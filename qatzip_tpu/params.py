@@ -182,8 +182,15 @@ _defaults = {
 
 
 def get_defaults(kind: str = "legacy"):
-    """qzGetDefaults analog — returns a copy of the current defaults."""
-    return dataclasses.replace(_defaults[kind])
+    """qzGetDefaults analog — returns a copy of the current defaults,
+    overlaid with the active config-file section (the driver-.conf analog,
+    see config.py)."""
+    p = dataclasses.replace(_defaults[kind])
+    from .config import apply_to_params, load
+    settings = load()
+    if settings:
+        apply_to_params(p, settings)
+    return p
 
 
 def set_defaults(params, kind: str = "legacy") -> int:

@@ -212,3 +212,56 @@ def test_qztest_driver_modes():
             capture_output=True, text=True, timeout=300, env=env,
             cwd=os.path.join(os.path.dirname(__file__), ".."))
         assert r.returncode == 0, f"mode {mode}: {r.stdout} {r.stderr}"
+
+
+def test_async_chain_compress_and_hash():
+    import hashlib
+    assert aqz_init(num_threads=1) == QZ_OK
+    try:
+        sess = AQzSession()
+        sess.setup_deflate()
+        data = b"chain me " * 1000
+        got = {}
+        ev = threading.Event()
+
+        def cb(external, src, dest, rc, crc, digest):
+            got[external] = (rc, dest, digest)
+            if len(got) == 2:
+                ev.set()
+
+        assert sess.chain_compress(data, cb, external="chain") == 0
+        assert sess.hash(data, cb, external="hash") == 0
+        assert ev.wait(timeout=30)
+        rc, dest, digest = got["chain"]
+        assert rc == QZ_OK and digest == hashlib.sha256(data).digest()
+        d = QzSession()
+        d.setup_deflate()
+        assert d.decompress(dest) == data
+        rc, dest, digest = got["hash"]
+        assert rc == QZ_OK and dest == b""
+        assert digest == hashlib.sha256(data).digest()
+    finally:
+        aqz_stop()
+
+
+def test_config_file_section(tmp_path, monkeypatch):
+    from qatzip_tpu import config as C
+    from qatzip_tpu import params as P
+
+    conf = tmp_path / "qztpu.conf"
+    conf.write_text(
+        "[SHIM]\nhw_buff_sz = 32768\ncomp_lvl = 4\n"
+        "[SMALL]\nhw_buff_sz = 16384\n")
+    monkeypatch.setenv("QZTPU_CONF", str(conf))
+    p = P.get_defaults("deflate")
+    assert p.common.hw_buff_sz == 32768 and p.common.comp_lvl == 4
+    monkeypatch.setenv("QZTPU_SECTION_NAME", "SMALL")
+    p = P.get_defaults("deflate")
+    assert p.common.hw_buff_sz == 16384
+    monkeypatch.delenv("QZTPU_SECTION_NAME")
+    # config must produce valid sessions end-to-end
+    monkeypatch.setenv("QZTPU_FORCE_SW", "1")
+    s = QzSession()
+    s.setup_deflate()
+    data = b"configured " * 500
+    assert s.decompress(s.compress(data)) == data
