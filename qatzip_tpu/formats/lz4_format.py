@@ -123,12 +123,15 @@ def verify_lz4_frame_header(buf, offset: int = 0) -> int:
     return QZ_OK
 
 
-def walk_lz4_blocks(buf, offset: int, avail: int,
-                    header_sz: int) -> Optional[Tuple[List[Tuple[int, int, bool]], int]]:
+def walk_lz4_blocks(buf, offset: int, avail: int, header_sz: int,
+                    block_checksum: bool = False,
+                    ) -> Optional[Tuple[List[Tuple[int, int, bool]], int]]:
     """Walk block headers from ``offset+header_sz`` until the endmark.
 
     Returns ([(payload_off, payload_sz, is_stored)], footer_off) or None when
     the frame is truncated. Mirrors ``findLZ4Footer`` (qatzip_lz4.c:145-173).
+    ``block_checksum`` skips the 4-byte xxh32 trailing each block (frames
+    with the FLG B.Checksum bit).
     """
     mv = memoryview(buf)
     pos = offset + header_sz
@@ -145,6 +148,10 @@ def walk_lz4_blocks(buf, offset: int, avail: int,
             return None
         blocks.append((pos, size, stored))
         pos += size
+        if block_checksum:
+            if pos + 4 > end:
+                return None
+            pos += 4
     return None
 
 

@@ -185,7 +185,9 @@ def get_defaults(kind: str = "legacy"):
     """qzGetDefaults analog — returns a copy of the current defaults,
     overlaid with the active config-file section (the driver-.conf analog,
     see config.py)."""
-    p = dataclasses.replace(_defaults[kind])
+    import copy
+
+    p = copy.deepcopy(_defaults[kind])
     from .config import apply_to_params, load
     settings = load()
     if settings:
@@ -195,8 +197,10 @@ def get_defaults(kind: str = "legacy"):
 
 def set_defaults(params, kind: str = "legacy") -> int:
     """qzSetDefaults analog — validates then installs new defaults."""
+    import copy
+
     rc = params.check()
     if rc != QZ_OK:
         return rc
-    _defaults[kind] = dataclasses.replace(params)
+    _defaults[kind] = copy.deepcopy(params)
     return QZ_OK

@@ -60,7 +60,8 @@ class QzSession:
         rc = params.check(gen4=rt.gen4) if hasattr(params, "check") else QZ_OK
         if rc != QZ_OK:
             return rc
-        self.params = dataclasses.replace(params)
+        import copy
+        self.params = copy.deepcopy(params)
         self.algorithm = algorithm
         self.state = SessionState.QZ_SETUP_SW
         return QZ_OK
@@ -152,6 +153,10 @@ class QzSession:
         self._ensure_ready()
         data = bytes(data)
         c = self.common
+        if c.direction == Direction.DIR_DECOMPRESS:
+            # direction-mismatched sessions are rejected (reference
+            # qzCompressCrcExt checks sess direction → QZ_PARAMS)
+            raise QzError(QZ_PARAMS, "session is decompress-only")
         level = c.comp_lvl
         engine = self._engine
         if self._legacy_api and level == 9:
@@ -189,6 +194,8 @@ class QzSession:
                    return_consumed: bool = False):
         """qzDecompress analog; verifies member checksums/ISIZE."""
         self._ensure_ready()
+        if self.common.direction == Direction.DIR_COMPRESS:
+            raise QzError(QZ_PARAMS, "session is compress-only")
         data = bytes(data)
         out, consumed, crc = _codec.decompress_buffer(
             data, algorithm=self.algorithm, data_fmt=self.data_fmt,

@@ -240,7 +240,8 @@ def lz4_frame_decompress(data) -> Tuple[bytes, int]:
             if pos == 0:
                 raise QzError(QZ_DATA_ERROR, "not an LZ4 frame")
             break
-        walked = walk_lz4_blocks(data, pos, n - pos, info.header_sz)
+        walked = walk_lz4_blocks(data, pos, n - pos, info.header_sz,
+                                 block_checksum=info.has_block_checksum)
         if walked is None:
             raise QzError(QZ_DATA_ERROR, "truncated LZ4 frame")
         blocks, footer_off = walked
@@ -249,8 +250,10 @@ def lz4_frame_decompress(data) -> Tuple[bytes, int]:
         for (off, sz, stored) in blocks:
             payload = data[off:off + sz]
             if info.has_block_checksum:
-                payload_end = off + sz  # checksum trails payload
-                # block checksum is not counted in sz per spec; handled below
+                (want_bc,) = struct.unpack_from("<I", data, off + sz)
+                if xxh32(payload) != want_bc:
+                    raise QzError(QZ_DATA_ERROR,
+                                  "LZ4 block checksum mismatch")
             if stored:
                 frame_out += payload
             else:

@@ -265,3 +265,16 @@ def test_config_file_section(tmp_path, monkeypatch):
     s.setup_deflate()
     data = b"configured " * 500
     assert s.decompress(s.compress(data)) == data
+
+
+def test_qzip_cli_zstd_roundtrip(tmp_path):
+    from qatzip_tpu.cli import qzip as cli
+
+    p = tmp_path / "w.txt"
+    p.write_bytes(b"zstd via qzip " * 5000)
+    assert cli.main(["-A", "zstd", "-k", str(p)]) == 0
+    z = tmp_path / "w.txt.zst"
+    assert z.exists()
+    p.unlink()
+    assert cli.main(["-d", str(z)]) == 0
+    assert p.read_bytes() == b"zstd via qzip " * 5000

@@ -150,3 +150,35 @@ class TestLZ4Format:
         assert rc == 0, f"LZ4F_decompress rc={rc}"
         assert dst.raw[: dst_sz.value] == data
         lib.LZ4F_freeDecompressionContext(ctx)
+
+
+def test_lz4_frame_with_block_checksums():
+    """Frames with the B.Checksum FLG bit route through the SW walker,
+    which must skip and VERIFY the per-block xxh32."""
+    import struct
+    from qatzip_tpu.ops import xxh32
+    from qatzip_tpu.sw.codec import lz4_frame_decompress, _lz4_block_compress
+    from qatzip_tpu.constants import QzError
+
+    data = b"block checksum frame " * 300
+    flg = (1 << 6) | (1 << 4) | (1 << 3) | (1 << 2)  # v1, BC, csize, ccheck
+    bd = 4 << 4
+    fd = struct.pack("<BBQ", flg, bd, len(data))
+    hc = (xxh32(fd) >> 8) & 0xFF
+    out = struct.pack("<I", 0x184D2204) + fd + bytes([hc])
+    payload = _lz4_block_compress(data)
+    out += struct.pack("<I", len(payload)) + payload
+    out += struct.pack("<I", xxh32(payload))           # block checksum
+    out += struct.pack("<II", 0, xxh32(data))          # endmark + content ck
+    dec, consumed = lz4_frame_decompress(out)
+    assert dec == data and consumed == len(out)
+
+    # corrupt the block checksum → must raise
+    bad = bytearray(out)
+    bad[-9] ^= 0xFF  # inside block checksum field
+    try:
+        lz4_frame_decompress(bytes(bad))
+        raised = False
+    except QzError:
+        raised = True
+    assert raised

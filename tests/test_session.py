@@ -170,3 +170,38 @@ class TestStatus:
         st = qz.qz_get_status(s)
         assert st["initialized"]
         assert st["total_in"] >= 5000
+
+
+def test_direction_enforcement():
+    """Direction-mismatched ops are rejected (reference qzCompressCrcExt
+    checks sess direction -> QZ_PARAMS)."""
+    from qatzip_tpu import QzSession, QzError, params as P
+    from qatzip_tpu.constants import Direction
+
+    p = P.get_defaults("deflate")
+    p.common.direction = Direction.DIR_DECOMPRESS
+    s = QzSession()
+    s.setup_deflate(p)
+    with pytest.raises(QzError):
+        s.compress(b"x" * 2000)
+
+    p2 = P.get_defaults("deflate")
+    p2.common.direction = Direction.DIR_COMPRESS
+    s2 = QzSession()
+    s2.setup_deflate(p2)
+    blob = s2.compress(b"y" * 2000)
+    with pytest.raises(QzError):
+        s2.decompress(blob)
+    # DIR_BOTH (default) allows both
+    s3 = QzSession()
+    s3.setup_deflate()
+    assert s3.decompress(s3.compress(b"z" * 2000)) == b"z" * 2000
+
+
+def test_software_component_versions():
+    from qatzip_tpu.session import (qz_get_software_component_count,
+                                    qz_get_software_component_version_list)
+    comps = qz_get_software_component_version_list()
+    names = {c["name"] for c in comps}
+    assert {"qatzip_tpu", "zlib"} <= names
+    assert qz_get_software_component_count() == len(comps)
