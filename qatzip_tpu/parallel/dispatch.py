@@ -52,6 +52,10 @@ class TpuEngine:
         self.devices = list(devices)
         self.algorithm = algorithm
         self._cnv_default = os.environ.get("QZTPU_CNV", "0") == "1"
+        # device-side CRC32 (GF(2) matmul on the MXU, ops/crc32_mxu.py):
+        # exact vs zlib, opt-in — on relay-limited dev tunnels host crc is
+        # cheaper than the extra device program
+        self._device_crc = os.environ.get("QZTPU_DEVICE_CRC", "0") == "1"
 
     # -- tokenizer params per algorithm -------------------------------------
     @staticmethod
@@ -89,11 +93,21 @@ class TpuEngine:
                 a = np.frombuffer(c, np.uint8)
                 data[i, :len(a)] = a
                 lengths[i] = len(a)
-            toks, ntok = lz77_tokenize(jnp.asarray(data),
-                                       jnp.asarray(lengths), n=n,
+            darr = jnp.asarray(data)
+            toks, ntok = lz77_tokenize(darr, jnp.asarray(lengths), n=n,
                                        parse_seg=seg, **params)
-            pending.append((start, len(tile), toks, ntok))
-        for start, nt, toks, ntok in pending:
+            dcrc = None
+            if self._device_crc:
+                from ..ops.crc32_mxu import crc32_batch_device
+                dcrc = crc32_batch_device(darr, n=n)
+            pending.append((start, len(tile), toks, ntok, dcrc, lengths))
+        for start, nt, toks, ntok, dcrc, lens_np in pending:
+            crcs = [None] * nt
+            if dcrc is not None:
+                dcrc_np = np.asarray(dcrc)
+                for i in range(nt):
+                    if lens_np[i] == n:  # full rows only (padding-exact)
+                        crcs[i] = int(dcrc_np[i])
             ntok_np = np.asarray(ntok)               # (b, nseg)
             kmax = int(ntok_np.max()) if nt else 0
             k = seg
@@ -104,7 +118,7 @@ class TpuEngine:
                     k <<= 1
                 k = min(k, seg)
             toks3 = toks.reshape(toks.shape[0], nseg, seg)
-            yield start, nt, np.asarray(toks3[:, :, :k]), ntok_np
+            yield start, nt, np.asarray(toks3[:, :, :k]), ntok_np, crcs
 
     # -- public engine interface ----------------------------------------------
     def compress_chunks(self, chunks: Sequence[bytes], *, level: int,
@@ -144,7 +158,7 @@ class TpuEngine:
         mode = 1 if huffman_static else 0  # 0 = best(stored/static/dynamic)
 
         def pack_one(args):
-            gi, chunk, seg_toks, seg_ntok = args
+            gi, chunk, seg_toks, seg_ntok, pre_crc = args
             # merge per-parse-segment compacted slices (contiguous copies)
             parts = [seg_toks[s, :int(c)]
                      for s, c in enumerate(seg_ntok) if int(c) > 0]
@@ -162,16 +176,18 @@ class TpuEngine:
                 payload = self._verify_or_fallback(chunk, payload, algorithm,
                                                    finals[gi], level,
                                                    mini_match)
-            return gi, payload, zlib.crc32(chunk) & 0xFFFFFFFF
+            crc = (pre_crc if pre_crc is not None
+                   else zlib.crc32(chunk) & 0xFFFFFFFF)
+            return gi, payload, crc
 
         pool = host_pool()
         futures = []
-        for start, nt, toks, ntok in self._tokenize_tiles(chunks, n,
-                                                          algorithm):
+        for start, nt, toks, ntok, crcs in self._tokenize_tiles(chunks, n,
+                                                                algorithm):
             for i in range(nt):
                 gi = start + i
                 futures.append(pool.submit(
-                    pack_one, (gi, chunks[gi], toks[i], ntok[i])))
+                    pack_one, (gi, chunks[gi], toks[i], ntok[i], crcs[i])))
         for f in futures:
             gi, payload, crc = f.result()
             results[gi] = (payload, crc)
