@@ -205,7 +205,7 @@ def test_qztest_driver_modes():
     import subprocess
     import sys
     env = dict(os.environ, QZTPU_FORCE_SW="1")
-    for mode in ("4", "5", "9", "17", "18", "19", "21"):
+    for mode in ("4", "5", "9", "10", "12", "17", "18", "19", "20", "21"):
         r = subprocess.run(
             [sys.executable, "tools/qztest.py", "-m", mode, "-t", "2",
              "-l", "3", "-b", "16384", "-v"],

@@ -247,9 +247,78 @@ def run_mode_21(args, tid, stats):
     print(f"[INFO] tid={tid} fork ok")
 
 
+def run_mode_10(args, tid, stats):
+    """Invalid-stream-param suite (modes 10/13 analogs): ended streams,
+    unset sessions, garbage input — all must error cleanly."""
+    from qatzip_tpu.stream import (QzStream, qz_compress_stream,
+                                   qz_decompress_stream)
+    sess = make_session(args)
+    strm = QzStream(sess)
+    strm.end()
+    rc, out = qz_compress_stream(sess, strm, b"late data", 1)
+    if rc == QZ_OK:
+        stats.fail()
+        return
+    rc, out = qz_decompress_stream(sess, strm, b"late data", 1)
+    if rc == QZ_OK:
+        stats.fail()
+        return
+    strm2 = QzStream(sess)
+    try:
+        strm2.decompress(b"\x00" * 64, last=True)
+        stats.fail()
+        return
+    except QzError:
+        pass
+    print(f"[INFO] tid={tid} invalid-stream-params ok")
+
+
+def run_mode_12(args, tid, stats):
+    """Streaming with many tiny pushes and odd flush points (pending-out
+    carry behavior, modes 12/15/16 analog)."""
+    data = gen_random_data(args.block_sz * 2, seed=tid)
+    sess = make_session(args)
+    from qatzip_tpu.stream import QzStream
+    strm = QzStream(sess, strm_buff_sz=4096)
+    out = bytearray()
+    pos = 0
+    step = 577  # deliberately unaligned
+    while pos < len(data):
+        last = pos + step >= len(data)
+        out += strm.compress(data[pos:pos + step], last=last)
+        pos += step
+    strm.end()
+    d = make_session(args)
+    if d.decompress(bytes(out)) != data:
+        stats.fail()
+        return
+    print(f"[INFO] tid={tid} pending-out carry ok")
+
+
+def run_mode_20(args, tid, stats):
+    """Buffer-error behavior: undersized destination returns QZ_BUF_ERROR
+    without consuming input (mode 20/22 analog)."""
+    from qatzip_tpu.session import qz_compress, qz_decompress
+    from qatzip_tpu.constants import QZ_BUF_ERROR
+    data = gen_random_data(args.block_sz, seed=tid)
+    sess = make_session(args)
+    rc, consumed, produced = qz_compress(sess, data, bytearray(4))
+    if rc != QZ_BUF_ERROR or consumed or produced:
+        stats.fail()
+        return
+    comp = sess.compress(data)
+    rc, consumed, produced = qz_decompress(make_session(args), comp,
+                                           bytearray(4))
+    if rc != QZ_BUF_ERROR:
+        stats.fail()
+        return
+    print(f"[INFO] tid={tid} buffer-error ok")
+
+
 MODES = {1: run_mode_1, 2: run_mode_2, 4: run_mode_4, 5: run_mode_5,
-         9: run_mode_9, 17: run_mode_17, 18: run_mode_18, 19: run_mode_19,
-         21: run_mode_21}
+         9: run_mode_9, 10: run_mode_10, 12: run_mode_12,
+         17: run_mode_17, 18: run_mode_18, 19: run_mode_19,
+         20: run_mode_20, 21: run_mode_21}
 
 
 def main(argv=None) -> int:
