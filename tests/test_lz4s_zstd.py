@@ -95,3 +95,29 @@ class TestZstdBridge:
         out = subprocess.run(["zstd", "-d", "-c", str(f)],
                              capture_output=True)
         assert out.returncode == 0 and out.stdout == data
+
+
+def test_zstd_frames_decode_with_thirdparty_zstandard():
+    """Our lz4s→zstd bridge output must decode with the independent
+    `zstandard` binding (stock-tool cross-validation)."""
+    zstd = pytest.importorskip("zstandard")
+    from qatzip_tpu import QzSession, params as P
+    from qatzip_tpu.postproc import zstd_callback
+
+    data = (b"cross validate me with stock zstd " * 3000)
+    params = P.get_defaults("lz4s")
+    params.qzCallback = zstd_callback
+    sess = QzSession()
+    sess.setup_lz4s(params)
+    frames = sess.compress(data)
+    dctx = zstd.ZstdDecompressor()
+    out = bytearray()
+    pos = 0
+    # frames may be concatenated — stream-decode them all
+    reader = dctx.decompressobj()
+    out = reader.decompress(frames)
+    while reader.unused_data:
+        rest = reader.unused_data
+        reader = dctx.decompressobj()
+        out += reader.decompress(rest)
+    assert bytes(out) == data
