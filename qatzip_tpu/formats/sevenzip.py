@@ -140,16 +140,26 @@ class Entry:
     mtime: float
     mode: int
     crc: int = 0
+    is_symlink: bool = False
+    link_target: str = ""
 
 
 def _collect(inputs: List[str], recursive: bool = True) -> List[Entry]:
     """Resolve file/dir arguments into archive entries (dirs first like the
-    reference's category-1/category-2 split, utils/qzip_7z.c:784-900)."""
+    reference's category-1/category-2 split, utils/qzip_7z.c:784-900).
+    Symlinks are stored as small files whose content is the target path
+    with S_IFLNK in the unix-mode attribute (reference symlink handling,
+    utils/qzip_7z.c resolvers)."""
     entries: List[Entry] = []
 
     def add(path: str, name: str):
         st = os.lstat(path)
-        if statmod.S_ISDIR(st.st_mode):
+        if statmod.S_ISLNK(st.st_mode):
+            target = os.readlink(path)
+            entries.append(Entry(path, name, False, len(target) == 0,
+                                 len(target), st.st_mtime, st.st_mode,
+                                 is_symlink=True, link_target=target))
+        elif statmod.S_ISDIR(st.st_mode):
             entries.append(Entry(path, name, True, True, 0, st.st_mtime,
                                  st.st_mode))
             for child in sorted(os.listdir(path)):
@@ -157,7 +167,7 @@ def _collect(inputs: List[str], recursive: bool = True) -> List[Entry]:
         elif statmod.S_ISREG(st.st_mode):
             entries.append(Entry(path, name, False, st.st_size == 0,
                                  st.st_size, st.st_mtime, st.st_mode))
-        # symlinks/devices skipped (reference stores symlinks; TODO parity)
+        # device/socket nodes skipped
 
     for arg in inputs:
         add(arg, os.path.basename(arg.rstrip("/")) or arg)
@@ -168,41 +178,65 @@ def _collect(inputs: List[str], recursive: bool = True) -> List[Entry]:
 # Writer
 # ---------------------------------------------------------------------------
 
+FOLDER_LIMIT = 512 << 20   # reference chunks the stream at 512 MB
+
+
 def create_7z(inputs: List[str], out_path: str, sess=None,
-              recursive: bool = True) -> Tuple[int, int]:
-    """Create a .7z archive: one folder holding all non-empty file contents
-    as a single DEFLATE stream (reference doCompressFile strategy).
+              recursive: bool = True,
+              folder_limit: int = FOLDER_LIMIT) -> Tuple[int, int]:
+    """Create a .7z archive: non-empty file contents concatenated into
+    DEFLATE folder streams, one folder per ``folder_limit`` bytes
+    (reference doCompressFile strategy, 512 MB chunks,
+    utils/qzip_7z.c:447-737).
 
     Returns (total uncompressed, total archive bytes).
     """
     entries = _collect(inputs, recursive)
     nonempty = [e for e in entries if not e.is_dir and not e.is_empty]
 
-    # --- pack stream: concatenated file bodies, deflate-raw ----------------
-    raw = io.BytesIO()
+    # --- group whole files into folders up to folder_limit -----------------
+    groups: List[List[Entry]] = []
+    cur: List[Entry] = []
+    cur_sz = 0
     for e in nonempty:
-        with open(e.path, "rb") as fh:
-            data = fh.read()
-        e.crc = zlib.crc32(data) & 0xFFFFFFFF
-        e.size = len(data)
-        raw.write(data)
-    body = raw.getvalue()
+        sz = e.size if not e.is_symlink else len(e.link_target.encode())
+        if cur and cur_sz + sz > folder_limit:
+            groups.append(cur)
+            cur, cur_sz = [], 0
+        cur.append(e)
+        cur_sz += sz
+    if cur:
+        groups.append(cur)
 
-    if sess is not None and body:
-        from ..constants import DataFormat
-        import dataclasses as _dc
-        # force raw-deflate framing for the folder stream
-        saved_fmt = sess.data_fmt
-        sess.data_fmt = DataFormat.DEFLATE_RAW
-        try:
-            packed = sess.compress(body)
-        finally:
-            sess.data_fmt = saved_fmt
-    elif body:
+    def _deflate(body: bytes) -> bytes:
+        if sess is not None and body:
+            from ..constants import DataFormat
+            saved_fmt = sess.data_fmt
+            sess.data_fmt = DataFormat.DEFLATE_RAW
+            try:
+                return sess.compress(body)
+            finally:
+                sess.data_fmt = saved_fmt
         co = zlib.compressobj(1, zlib.DEFLATED, -15)
-        packed = co.compress(body) + co.flush()
-    else:
-        packed = b""
+        return co.compress(body) + co.flush()
+
+    packed_streams: List[bytes] = []
+    body_sizes: List[int] = []
+    for grp in groups:
+        raw = io.BytesIO()
+        for e in grp:
+            if e.is_symlink:
+                data = e.link_target.encode()
+            else:
+                with open(e.path, "rb") as fh:
+                    data = fh.read()
+            e.crc = zlib.crc32(data) & 0xFFFFFFFF
+            e.size = len(data)
+            raw.write(data)
+        body = raw.getvalue()
+        body_sizes.append(len(body))
+        packed_streams.append(_deflate(body))
+    packed = b"".join(packed_streams)
 
     # --- end header ----------------------------------------------------------
     hdr = bytearray()
@@ -212,33 +246,38 @@ def create_7z(inputs: List[str], out_path: str, sess=None,
         # PackInfo
         hdr.append(K_PACK_INFO)
         hdr += write_number(0)            # pack pos
-        hdr += write_number(1)            # num pack streams
+        hdr += write_number(len(groups))  # num pack streams
         hdr.append(K_SIZE)
-        hdr += write_number(len(packed))
+        for ps in packed_streams:
+            hdr += write_number(len(ps))
         hdr.append(K_END)
         # UnPackInfo
         hdr.append(K_UNPACK_INFO)
         hdr.append(K_FOLDER)
-        hdr += write_number(1)            # num folders
+        hdr += write_number(len(groups))  # num folders
         hdr.append(0)                     # external = 0
-        hdr += write_number(1)            # num coders in folder
-        hdr.append(len(CODEC_DEFLATE))    # flags: id size, simple coder
-        hdr += CODEC_DEFLATE
+        for _grp in groups:
+            hdr += write_number(1)        # num coders in folder
+            hdr.append(len(CODEC_DEFLATE))  # flags: id size, simple coder
+            hdr += CODEC_DEFLATE
         hdr.append(K_CODERS_UNPACK_SIZE)
-        hdr += write_number(len(body))
+        for bs in body_sizes:
+            hdr += write_number(bs)
         hdr.append(K_END)
         # SubStreamsInfo
         hdr.append(K_SUBSTREAMS_INFO)
         hdr.append(K_NUM_UNPACK_STREAM)
-        hdr += write_number(len(nonempty))
-        if len(nonempty) > 1:
-            hdr.append(K_SIZE)
-            for e in nonempty[:-1]:
+        for grp in groups:
+            hdr += write_number(len(grp))
+        hdr.append(K_SIZE)
+        for grp in groups:
+            for e in grp[:-1]:            # last substream size is derived
                 hdr += write_number(e.size)
         hdr.append(K_CRC)
         hdr.append(1)                     # all defined
-        for e in nonempty:
-            hdr += struct.pack("<I", e.crc)
+        for grp in groups:
+            for e in grp:
+                hdr += struct.pack("<I", e.crc)
         hdr.append(K_END)
         hdr.append(K_END)
     # FilesInfo
@@ -276,6 +315,8 @@ def create_7z(inputs: List[str], out_path: str, sess=None,
         a = 0x8000 | (statmod.S_IMODE(e.mode) << 16)
         if e.is_dir:
             a |= 0x10 | (statmod.S_IFDIR << 16)
+        elif e.is_symlink:
+            a |= (statmod.S_IFLNK << 16)
         else:
             a |= (statmod.S_IFREG << 16)
         at += struct.pack("<I", a)
@@ -477,13 +518,11 @@ class _HeaderParser:
                 f.bind_pairs.append((i, o))
             npacked = total_in - nbind
             if npacked == 1:
-                bound_ins = {i for (i, _o) in f.bind_pairs}
-                for k in range(total_in):
-                    if k not in bound_ins:
-                        f.packed_indices = [k]
-                        break
+                # pack streams are consumed sequentially across folders
+                f.packed_indices = [pack_index]
             else:
                 f.packed_indices = [self.num() for _ in range(npacked)]
+            pack_index += npacked
             f._total_out = total_out
             self.folders.append(f)
         self.expect(K_CODERS_UNPACK_SIZE)
@@ -714,6 +753,13 @@ def extract_7z(archive: str, dest_dir: str = ".",
                         raise QzError(QZ_DATA_ERROR,
                                       f"7z: CRC mismatch for {name}")
                 sidx += 1
+            unix_mode = (attr >> 16) & 0xFFFF
+            if (attr & 0x8000) and statmod.S_ISLNK(unix_mode):
+                if os.path.lexists(path):
+                    os.unlink(path)
+                os.symlink(data.decode(errors="surrogateescape"), path)
+                written.append(path)
+                continue
             with open(path, "wb") as out:
                 out.write(data)
             if attr & 0x8000:

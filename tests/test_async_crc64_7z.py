@@ -278,3 +278,27 @@ def test_qzip_cli_zstd_roundtrip(tmp_path):
     p.unlink()
     assert cli.main(["-d", str(z)]) == 0
     assert p.read_bytes() == b"zstd via qzip " * 5000
+
+
+def test_7z_symlinks_and_multifolder(tmp_path):
+    from qatzip_tpu.formats.sevenzip import create_7z, extract_7z
+
+    src = tmp_path / "tree"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"A" * 30000)
+    (src / "b.bin").write_bytes(b"B" * 30000)
+    (src / "c.bin").write_bytes(b"C" * 30000)
+    os.symlink("a.bin", src / "lnk")
+    arc = tmp_path / "m.7z"
+    # tiny folder limit → forces 3 folders
+    create_7z([str(src)], str(arc), folder_limit=40000)
+    out = tmp_path / "out"
+    out.mkdir()
+    extract_7z(str(arc), str(out))
+    assert (out / "tree" / "a.bin").read_bytes() == b"A" * 30000
+    assert (out / "tree" / "b.bin").read_bytes() == b"B" * 30000
+    assert (out / "tree" / "c.bin").read_bytes() == b"C" * 30000
+    assert os.path.islink(out / "tree" / "lnk")
+    assert os.readlink(out / "tree" / "lnk") == "a.bin"
+    # symlink resolves to the extracted file
+    assert (out / "tree" / "lnk").read_bytes() == b"A" * 30000
