@@ -171,11 +171,11 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
         ok = same & (dist >= 1) & (dist <= window) & (ml >= min_match)
         return jnp.where(ok, ml, 0), jnp.where(ok, dist, 1)
 
-    # probe the 4 most recent same-hash predecessors (the reference's L1
-    # analog limits chain depth similarly — zlib max_chain≈4 at level 1);
-    # keep the longest match, nearest on ties
+    # probe the 6 most recent same-hash predecessors (a deeper chain than
+    # zlib L1's max_chain≈4 — each probe is just shifts in the sorted
+    # domain); keep the longest match, nearest on ties
     ml_s, dist_s = cand_at(1)
-    for delta in (2, 3, 4):
+    for delta in (2, 3, 4, 5, 6):
         mld, distd = cand_at(delta)
         better = mld > ml_s
         ml_s = jnp.where(better, mld, ml_s)
