@@ -83,16 +83,33 @@ class TpuEngine:
         params = self._tok_params(algorithm)
         seg = min(8192, n)
         nseg = n // seg
+        ndev = len(self.devices)
+        mesh = None
+        if ndev > 1:
+            # multi-chip: shard the tile's batch axis over the dp mesh
+            # (chunk-DP — the instance-pool shuffle analog)
+            from .mesh import make_mesh
+            mesh = make_mesh(self.devices)
         pending = []
         for start in range(0, len(chunks), TILE_B):
             tile = chunks[start:start + TILE_B]
             b = _bucket(len(tile))
+            if mesh is not None and b % ndev:
+                b = ((b + ndev - 1) // ndev) * ndev  # divisible batch
             data = np.zeros((b, n), np.uint8)
             lengths = np.zeros(b, np.int32)
             for i, c in enumerate(tile):
                 a = np.frombuffer(c, np.uint8)
                 data[i, :len(a)] = a
                 lengths[i] = len(a)
+            if mesh is not None:
+                from .mesh import mesh_tokenize
+                toks, ntok, _stats = mesh_tokenize(
+                    mesh, data, lengths, n=n, **params)
+                dcrc = None
+                pending.append((start, len(tile), toks, ntok, dcrc,
+                                lengths))
+                continue
             darr = jnp.asarray(data)
             toks, ntok = lz77_tokenize(darr, jnp.asarray(lengths), n=n,
                                        parse_seg=seg, **params)
