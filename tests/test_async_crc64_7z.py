@@ -302,3 +302,51 @@ def test_7z_symlinks_and_multifolder(tmp_path):
     assert os.readlink(out / "tree" / "lnk") == "a.bin"
     # symlink resolves to the extracted file
     assert (out / "tree" / "lnk").read_bytes() == b"A" * 30000
+
+
+def test_7z_reads_lzma_folder(tmp_path):
+    """Stock 7-Zip writes LZMA folders — handcraft one and verify the
+    reader's LZMA1 coder path (PARITY: stock-archive reading)."""
+    import lzma
+    import struct
+    import zlib as _z
+    from qatzip_tpu.formats import sevenzip as sz
+
+    data = b"stock seven zip lzma payload " * 1000
+    filt = [{"id": lzma.FILTER_LZMA1, "preset": 6}]
+    comp = lzma.LZMACompressor(lzma.FORMAT_ALONE, filters=filt)
+    alone = comp.compress(data) + comp.flush()
+    props, packed = alone[:5], alone[13:]  # strip .lzma header (5B props + 8B size)
+
+    hdr = bytearray([sz.K_HEADER, sz.K_MAIN_STREAMS, sz.K_PACK_INFO])
+    hdr += sz.write_number(0) + sz.write_number(1)
+    hdr += bytes([sz.K_SIZE]) + sz.write_number(len(packed))
+    hdr += bytes([sz.K_END, sz.K_UNPACK_INFO, sz.K_FOLDER])
+    hdr += sz.write_number(1) + bytes([0])
+    hdr += sz.write_number(1)
+    hdr += bytes([0x20 | len(sz.CODEC_LZMA1)]) + sz.CODEC_LZMA1  # has props
+    hdr += sz.write_number(len(props)) + props
+    hdr += bytes([sz.K_CODERS_UNPACK_SIZE]) + sz.write_number(len(data))
+    hdr += bytes([sz.K_END, sz.K_SUBSTREAMS_INFO, sz.K_NUM_UNPACK_STREAM])
+    hdr += sz.write_number(1)
+    hdr += bytes([sz.K_CRC, 1]) + struct.pack("<I", _z.crc32(data))
+    hdr += bytes([sz.K_END, sz.K_END])
+    # FilesInfo: one file
+    hdr += bytes([sz.K_FILES_INFO]) + sz.write_number(1)
+    names = bytearray([0]) + "payload.bin".encode("utf-16-le") + b"\x00\x00"
+    hdr += bytes([sz.K_NAME]) + sz.write_number(len(names)) + names
+    hdr += bytes([sz.K_END, sz.K_END])
+
+    start = struct.pack("<QQI", len(packed), len(hdr),
+                        _z.crc32(bytes(hdr)) & 0xFFFFFFFF)
+    arc = tmp_path / "lzma.7z"
+    with open(arc, "wb") as fh:
+        fh.write(sz.MAGIC + sz.VERSION
+                 + struct.pack("<I", _z.crc32(start) & 0xFFFFFFFF) + start)
+        fh.write(packed)
+        fh.write(bytes(hdr))
+
+    out = tmp_path / "o"
+    out.mkdir()
+    sz.extract_7z(str(arc), str(out))
+    assert (out / "payload.bin").read_bytes() == data
