@@ -11,9 +11,12 @@ qatzip_internal.h:580-604), ``aqzInit`` spawning submit threads
 TPU-native re-design: instead of per-request DP submissions, worker
 threads drain the queue in batches and hand each batch to the chunk engine
 as one device dispatch — batching is what makes a vector machine fast, and
-it plays the role the 32-deep DMA ring plays for QAT. Ordered retirement
-per session is preserved (completions fire in submission order within a
-session, the dcCallback ordering invariant, src/qatzip.c:241-272).
+it plays the role the 32-deep DMA ring plays for QAT. Within a drained
+batch, a session's requests complete in submission order (the dcCallback
+ordering invariant, src/qatzip.c:241-272); across batches with multiple
+workers, callbacks may interleave — stitch by your external tag, exactly
+as the reference's async samples do (utils/aqzip.c indexes completions by
+request id).
 """
 
 from __future__ import annotations

@@ -581,7 +581,6 @@ class _HeaderParser:
             di = 0
             for si in range(total_streams):
                 if known[si]:
-                    fidx = 0
                     crcs[si] = None  # folder crc applies
                 else:
                     if bits[di]:
