@@ -38,8 +38,14 @@ def _build_parser():
 
 
 def process_file(args, name: str) -> int:
-    out_name = name[:-3] if args.decompress and name.endswith(".gz") \
-        else name + ".gz"
+    if args.decompress:
+        if not name.endswith(".gz"):
+            print(f"aqzip: {name}: unknown suffix -- ignored",
+                  file=sys.stderr)
+            return 1
+        out_name = name[:-3]
+    else:
+        out_name = name + ".gz"
     sess = AQzSession()
     sess.setup_deflate()
 
@@ -55,12 +61,20 @@ def process_file(args, name: str) -> int:
                 done.set()
 
     with open(name, "rb") as fh:
-        pieces = []
-        while True:
-            b = fh.read(args.chunk)
-            if not b:
-                break
-            pieces.append(b)
+        if args.decompress:
+            # gzip members may straddle arbitrary byte offsets, so the
+            # whole file is one request — requests are the unit of
+            # decomposition only for compression, where we control the
+            # member framing (reference aqzip decompresses per complete
+            # compressed buffer as well)
+            pieces = [fh.read()]
+        else:
+            pieces = []
+            while True:
+                b = fh.read(args.chunk)
+                if not b:
+                    break
+                pieces.append(b)
     expected = len(pieces)
     if expected == 0:
         pieces = [b""]

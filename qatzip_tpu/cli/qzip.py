@@ -22,7 +22,7 @@ from .. import params as P
 from ..constants import DataFormat, Direction, HuffmanHdr, PollingMode, QzError
 from ..session import QzSession
 
-SUFFIXES = {".gz", ".lz4", ".lz4s", ".7z"}
+SUFFIXES = {".gz", ".lz4", ".lz4s", ".7z", ".zst"}
 SRC_BUFF_LEN = 512 * 1024 * 1024  # read granularity (utils/qzip.h:188)
 
 

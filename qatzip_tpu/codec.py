@@ -78,7 +78,7 @@ def compress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
             data,
             data_fmt if algorithm == "deflate"
             else (DataFormat.LZ4 if algorithm == "lz4" else DataFormat.LZ4S),
-            level, hw_buff_sz)
+            level, hw_buff_sz, mini_match=mini_match)
         if len(sw_out) < len(out):
             return sw_out, sw_crc
     return out, crc

@@ -165,6 +165,17 @@ class TpuEngine:
             cnv = self._cnv_default
         finals = list(final_flags) if final_flags is not None \
             else [True] * len(chunks)
+
+        # The device tokenizer's position field caps a row at 64 KiB;
+        # sessions may use hw_buff_sz up to 512 KiB (params validation),
+        # so oversized chunks are split into device rows and their block
+        # payloads concatenated — non-final rows end with a sync flush,
+        # so the joined payload is one valid raw stream per chunk.
+        DEV_MAX = 65536
+        if any(len(c) > DEV_MAX for c in chunks):
+            return self._compress_split(chunks, finals, level, algorithm,
+                                        mini_match, huffman_static, cnv,
+                                        DEV_MAX)
         n = 1
         for c in chunks:
             while n < len(c):
@@ -209,6 +220,47 @@ class TpuEngine:
             gi, payload, crc = f.result()
             results[gi] = (payload, crc)
         return results  # type: ignore[return-value]
+
+    def _compress_split(self, chunks, finals, level, algorithm, mini_match,
+                        huffman_static, cnv, dev_max):
+        """Oversized-chunk path: split each chunk into <=64 KiB device
+        rows, compress the rows (recursively via the normal path, with
+        per-row final flags), and join each chunk's row payloads."""
+        if algorithm != "deflate":
+            # LZ4/LZ4s blocks can't be formed by concatenating sub-block
+            # payloads; the host block coder handles any size directly
+            # (the dispatch layer clamps LZ4 chunks to 64 KiB anyway)
+            from ..engines import host_engine
+            return host_engine.compress_chunks(
+                chunks, level=level, algorithm=algorithm,
+                final_flags=finals, mini_match=mini_match,
+                huffman_static=huffman_static)
+        units = []                  # flattened rows across all chunks
+        unit_finals = []
+        spans = []                  # (unit_start, unit_count) per chunk
+        for gi, c in enumerate(chunks):
+            start = len(units)
+            pieces = [c[o:o + dev_max] for o in range(0, len(c), dev_max)] \
+                or [b""]
+            for k, p in enumerate(pieces):
+                units.append(p)
+                unit_finals.append(finals[gi] if k == len(pieces) - 1
+                                   else False)
+            spans.append((start, len(pieces)))
+        unit_results = self.compress_chunks(
+            units, level=level, algorithm=algorithm,
+            final_flags=unit_finals, mini_match=mini_match,
+            huffman_static=huffman_static, cnv=False)
+        out = []
+        for gi, c in enumerate(chunks):
+            start, cnt = spans[gi]
+            payload = b"".join(unit_results[start + k][0]
+                               for k in range(cnt))
+            if cnv:
+                payload = self._verify_or_fallback(
+                    c, payload, algorithm, finals[gi], level, mini_match)
+            out.append((payload, zlib.crc32(c) & 0xFFFFFFFF))
+        return out
 
     def _verify_or_fallback(self, chunk: bytes, payload: bytes,
                             algorithm: str, final: bool, level: int,
