@@ -131,13 +131,11 @@ int64_t qz_lz4_compress_block(const uint8_t* src, int64_t n, uint8_t* dst,
     *op = 0;  // single empty-literal token
     return 1;
   }
-  uint16_t table[1 << LZ4_HASH_LOG];
-  std::memset(table, 0, sizeof(table));
-  // table stores pos+1 (0 = empty); works for blocks <= 64KB. For larger
-  // blocks use 32-bit table.
+  // table stores pos+1 (0 = empty); works for blocks <= 64KB. Larger
+  // blocks use the 32-bit thread-local table.
   const bool small = n <= 65535;
-  uint32_t table32[1];  // placeholder to keep a single code path simple
-  (void)table32;
+  uint16_t table[1 << LZ4_HASH_LOG];
+  if (small) std::memset(table, 0, sizeof(table));
   static thread_local uint32_t big_table[1 << LZ4_HASH_LOG];
   if (!small) std::memset(big_table, 0xFF, sizeof(big_table));
 
@@ -180,20 +178,8 @@ int64_t qz_lz4_compress_block(const uint8_t* src, int64_t n, uint8_t* dst,
     }
   }
   // final literals
-  size_t lastlit = (size_t)(iend - anchor);
-  size_t need = 1 + lastlit / 255 + 1 + lastlit;
-  if (op + need > oend) return 0;
-  uint8_t* tok = op++;
-  if (lastlit >= 15) {
-    *tok = (uint8_t)(15 << 4);
-    size_t r = lastlit - 15;
-    while (r >= 255) { *op++ = 255; r -= 255; }
-    *op++ = (uint8_t)r;
-  } else {
-    *tok = (uint8_t)(lastlit << 4);
-  }
-  std::memcpy(op, anchor, lastlit);
-  op += lastlit;
+  op = lz4_emit(op, oend, anchor, (size_t)(iend - anchor), 0, 0, false);
+  if (!op) return 0;
   return (int64_t)(op - dst);
 }
 
@@ -330,20 +316,8 @@ int64_t qz_lz4s_compress_block(const uint8_t* src, int64_t n, uint8_t* dst,
     }
   }
   // trailing literal-only sequence (no offset — terminates block)
-  size_t lastlit = (size_t)(iend - anchor);
-  size_t need = 1 + lastlit / 255 + 1 + lastlit;
-  if (op + need > oend) return 0;
-  uint8_t* tok = op++;
-  if (lastlit >= 15) {
-    *tok = (uint8_t)(15 << 4);
-    size_t r = lastlit - 15;
-    while (r >= 255) { *op++ = 255; r -= 255; }
-    *op++ = (uint8_t)r;
-  } else {
-    *tok = (uint8_t)(lastlit << 4);
-  }
-  std::memcpy(op, anchor, lastlit);
-  op += lastlit;
+  op = lz4_emit(op, oend, anchor, (size_t)(iend - anchor), 0, 0, false);
+  if (!op) return 0;
   return (int64_t)(op - dst);
 }
 
@@ -389,6 +363,7 @@ int64_t qz_lz4s_decode_block(const uint8_t* src, int64_t n,
       } while (s == 255);
     }
     if (ml != 0) {
+      if (off == 0) return -1;  // real matches need a backward distance
       if (ns >= seq_cap) return -1;
       litlens[ns] = pend_lit;
       matchlens[ns] = (uint32_t)ml + add;
@@ -422,6 +397,9 @@ int64_t qz_zstd_post_process(const uint8_t* src, int64_t src_len,
   if (!zc) return -1000;
   ZSTD_CCtx_setParameter(zc, ZSTD_c_blockDelimiters,
                          ZSTD_sf_explicitBlockDelimiters);
+  // validate sequences so malformed lz4s input yields an error code
+  // instead of a silently undecodable zstd frame
+  ZSTD_CCtx_setParameter(zc, ZSTD_c_validateSequences, 1);
   if (level > 0) ZSTD_CCtx_setParameter(zc, ZSTD_c_compressionLevel, level);
 
   const int64_t SEQ_CAP = 1 << 17;
@@ -538,6 +516,12 @@ static int len_code_lut[259];
 static int dist_code_lut_hi[512];  // for dist > 256: index (dist-1)>>7
 static int dist_code_lut_lo[257];  // for dist <= 256
 static bool luts_init = false;
+
+static void init_luts();
+// Initialize at library load: callers run on GIL-free thread pools, so a
+// lazy first-call init would race (two writers, or a reordered flag store
+// exposing half-built tables -> silently corrupt streams).
+namespace { struct LutInit { LutInit() { init_luts(); } } lut_init_at_load; }
 
 static void init_luts() {
   for (int c = 0; c < 29; ++c) {
@@ -775,10 +759,15 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
       uint32_t t = toks[i];
       if (tok_is_match(t)) {
         int len = tok_len(t);
+        int d = tok_dist(t);
+        // trust boundary: tokens cross a C ABI — reject out-of-alphabet
+        // lengths/distances instead of indexing LUTs out of bounds
+        if (len < 3 || len > 258 || d < 1 || d > 32768 || pos + len > n)
+          return -2;
         int lc = len_code_lut[len];
         lfreq[257 + lc]++;
         extra_bits += LEN_EXTRA[lc];
-        int dc = dist_code(tok_dist(t));
+        int dc = dist_code(d);
         dfreq[dc]++;
         extra_bits += DIST_EXTRA[dc];
         pos += len;
@@ -952,10 +941,12 @@ int64_t qz_lz4_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
     uint32_t t = toks[i];
     if (!tok_is_match(t)) {
       pos += tok_is_litrun(t) ? tok_runlen(t) : 1;
+      if (pos > n) return -1;  // overstated run past input
       continue;
     }
     int ml = tok_len(t);
     int dist = tok_dist(t);
+    if (ml < LZ4_MINMATCH || dist < 1 || pos + ml > n) return -1;
     int64_t advance = ml;
     if (pos > n - 12) { pos += advance; continue; }          // demote
     int64_t maxend = n - 5;
@@ -969,20 +960,8 @@ int64_t qz_lz4_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
     anchor = pos - (advance - eml);  // trimmed tail becomes literals
   }
   // trailing literals
-  size_t lastlit = (size_t)(n - anchor);
-  size_t need = 1 + lastlit / 255 + 1 + lastlit;
-  if (op + need > oend) return 0;
-  uint8_t* tok = op++;
-  if (lastlit >= 15) {
-    *tok = (uint8_t)(15 << 4);
-    size_t r = lastlit - 15;
-    while (r >= 255) { *op++ = 255; r -= 255; }
-    *op++ = (uint8_t)r;
-  } else {
-    *tok = (uint8_t)(lastlit << 4);
-  }
-  std::memcpy(op, src + anchor, lastlit);
-  op += lastlit;
+  op = lz4_emit(op, oend, src + anchor, (size_t)(n - anchor), 0, 0, false);
+  if (!op) return 0;
   return (int64_t)(op - dst);
 }
 
@@ -1005,10 +984,12 @@ int64_t qz_lz4s_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
     uint32_t t = toks[i];
     if (!tok_is_match(t)) {
       pos += tok_is_litrun(t) ? tok_runlen(t) : 1;
+      if (pos > n) return -1;  // overstated run past input
       continue;
     }
     int ml = tok_len(t);
     int dist = tok_dist(t);
+    if (ml < (int)base + 1 || dist < 1 || pos + ml > n) return -1;
     size_t lit = (size_t)(pos - anchor);
     size_t stored = (size_t)ml - base;
     size_t need = 1 + lit / 255 + 1 + lit + 2 + 1 + stored / 255;
@@ -1038,20 +1019,8 @@ int64_t qz_lz4s_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
     pos += ml;
     anchor = pos;
   }
-  size_t lastlit = (size_t)(n - anchor);
-  size_t need = 1 + lastlit / 255 + 1 + lastlit;
-  if (op + need > oend) return 0;
-  uint8_t* tk = op++;
-  if (lastlit >= 15) {
-    *tk = (uint8_t)(15 << 4);
-    size_t r = lastlit - 15;
-    while (r >= 255) { *op++ = 255; r -= 255; }
-    *op++ = (uint8_t)r;
-  } else {
-    *tk = (uint8_t)(lastlit << 4);
-  }
-  std::memcpy(op, src + anchor, lastlit);
-  op += lastlit;
+  op = lz4_emit(op, oend, src + anchor, (size_t)(n - anchor), 0, 0, false);
+  if (!op) return 0;
   return (int64_t)(op - dst);
 }
 
