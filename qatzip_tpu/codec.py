@@ -15,17 +15,16 @@ number" invariant is structural rather than enforced by polling.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 from .constants import (
-    DataFormat, QZ_OK, QZ_DATA_ERROR, QZ_AUTO_SELECT_BEST, QzError,
+    DataFormat, QZ_DATA_ERROR, QZ_AUTO_SELECT_BEST, QzError,
 )
 from .formats import (
-    check_header, scan_members, output_header_gen, output_footer_gen,
+    scan_members, output_header_gen, output_footer_gen,
     lz4_frame_header, lz4_frame_footer, parse_lz4_frame_header,
     walk_lz4_blocks, lz4s_block_header,
 )
-from .formats.gzip_format import MemberInfo
 from .ops import crc32, crc32_combine, adler32, adler32_combine, xxh32
 from .sw import codec as swc
 from .engines import host_engine

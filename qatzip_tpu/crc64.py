@@ -15,7 +15,6 @@ init 0, no reflection, xor-out 0.
 from __future__ import annotations
 
 import dataclasses
-import zlib
 from typing import List, Optional
 
 from .constants import QZ_OK, QZ_PARAMS, QZ_FAIL, QZ_OUT_OF_RANGE, QzError

@@ -19,7 +19,7 @@ import threading
 import zlib
 from typing import List, Optional, Sequence, Tuple
 
-from .constants import DataFormat, effective_deflate_sw_level
+from .constants import effective_deflate_sw_level
 from .ops import crc32
 from .sw.codec import deflate_raw_compress, inflate_raw
 

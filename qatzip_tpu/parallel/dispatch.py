@@ -29,7 +29,6 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..constants import DataFormat
 from ..utils.debug import qz_log
 
 

@@ -13,7 +13,7 @@ from typing import Optional, Callable
 
 from . import constants as C
 from .constants import (
-    DataFormat, Direction, HuffmanHdr, PollingMode, CrcType,
+    DataFormat, Direction, HuffmanHdr, PollingMode,
     QZ_OK, QZ_PARAMS,
 )
 

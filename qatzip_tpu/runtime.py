@@ -19,8 +19,7 @@ import threading
 from typing import List, Optional
 
 from .constants import (
-    QZ_OK, QZ_DUPLICATE, QZ_NO_HW, QZ_NOSW_NO_HW, QZ_FAIL,
-    QzError, rc_name,
+    QZ_OK, QZ_DUPLICATE, QZ_NO_HW, QZ_NOSW_NO_HW,
 )
 from .utils.debug import qz_log
 

@@ -26,10 +26,9 @@ import zlib
 from typing import Optional
 
 from .constants import (
-    DataFormat, QZ_OK, QZ_PARAMS, QZ_FAIL, QZ_DATA_ERROR, QzError,
+    DataFormat, QZ_OK, QZ_FAIL, QZ_DATA_ERROR, QzError,
     effective_deflate_sw_level,
 )
-from .memory import default_pool
 from .ops import crc32_combine
 
 

@@ -27,7 +27,6 @@ from ..formats import (
     walk_lz4_blocks, lz4s_block_header,
 )
 from ..ops import crc32, crc32_combine, xxh32
-from ..ops.xxhash import XXH32State
 
 
 # ---------------------------------------------------------------------------
