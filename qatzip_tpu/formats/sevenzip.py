@@ -51,12 +51,104 @@ K_ENCODED_HEADER = 0x17
 K_DUMMY = 0x19
 
 CODEC_COPY = b"\x00"
+CODEC_DELTA = b"\x03"
 CODEC_DEFLATE = b"\x04\x01\x08"
 CODEC_LZMA1 = b"\x03\x01\x01"
 CODEC_LZMA2 = b"\x21"
 CODEC_BCJ_X86 = b"\x03\x03\x01\x03"
+CODEC_BCJ2 = b"\x03\x03\x01\x1b"
 
 FILETIME_EPOCH = 11644473600  # seconds between 1601 and 1970
+
+
+# ---------------------------------------------------------------------------
+# Branch-converter / delta filters (decoded stage of stock 7z folders)
+# ---------------------------------------------------------------------------
+
+def _test86(b: int) -> bool:
+    return b == 0x00 or b == 0xFF
+
+
+_MASK_ALLOWED = (True, True, True, False, True, False, False, False)
+_MASK_BITNUM = (0, 1, 2, 2, 3, 3, 3, 3)
+
+
+def bcj_x86_filter(data: bytes, encode: bool) -> bytes:
+    """x86 BCJ branch converter (E8/E9 rel32<->abs32), one-shot.
+
+    Same transform as 7-Zip's Bra86 / liblzma's x86 simple filter; applied
+    to a folder's full filter-stage stream (ip base 0). Cross-validated in
+    tests against liblzma's FILTER_X86 output.
+    """
+    buf = bytearray(data)
+    size = len(buf)
+    if size < 5:
+        return bytes(buf)
+    prev_mask = 0
+    prev_pos = -5
+    limit = size - 5
+    pos = 0
+    while pos <= limit:
+        # fast scan to the next E8/E9 opcode
+        i8 = buf.find(0xE8, pos, limit + 1)
+        i9 = buf.find(0xE9, pos, limit + 1)
+        if i8 < 0 and i9 < 0:
+            break
+        pos = min(x for x in (i8, i9) if x >= 0)
+        if pos > limit:
+            break
+        offset = pos - prev_pos
+        prev_pos = pos
+        if offset > 5:
+            prev_mask = 0
+        else:
+            for _ in range(offset):
+                prev_mask = (prev_mask & 0x77) << 1
+        b = buf[pos + 4]
+        if (_test86(b) and _MASK_ALLOWED[(prev_mask >> 1) & 0x7]
+                and (prev_mask >> 1) < 0x10):
+            src = ((b << 24) | (buf[pos + 3] << 16)
+                   | (buf[pos + 2] << 8) | buf[pos + 1])
+            while True:
+                if encode:
+                    dest = (src + (pos + 5)) & 0xFFFFFFFF
+                else:
+                    dest = (src - (pos + 5)) & 0xFFFFFFFF
+                if prev_mask == 0:
+                    break
+                i = _MASK_BITNUM[prev_mask >> 1]
+                b = (dest >> (24 - i * 8)) & 0xFF
+                if not _test86(b):
+                    break
+                src = dest ^ ((1 << (32 - i * 8)) - 1)
+            buf[pos + 4] = (~(((dest >> 24) & 1) - 1)) & 0xFF
+            buf[pos + 3] = (dest >> 16) & 0xFF
+            buf[pos + 2] = (dest >> 8) & 0xFF
+            buf[pos + 1] = dest & 0xFF
+            pos += 5
+            prev_mask = 0
+        else:
+            prev_mask |= 1
+            if _test86(b):
+                prev_mask |= 0x10
+            pos += 1
+    return bytes(buf)
+
+
+def delta_filter(data: bytes, dist: int, encode: bool) -> bytes:
+    """Delta filter (7z codec 0x03): byte delta at ``dist`` spacing."""
+    if not 1 <= dist <= 256:
+        raise QzError(QZ_DATA_ERROR, f"7z: bad delta distance {dist}")
+    import numpy as np
+    a = np.frombuffer(data, np.uint8).copy()
+    if encode:
+        a[dist:] = a[dist:] - a[:-dist]
+        return a.tobytes()
+    # decode: per-phase cumulative sum (out[i] = in[i] + out[i-dist])
+    n = len(a)
+    for phase in range(min(dist, n)):
+        a[phase::dist] = np.cumsum(a[phase::dist], dtype=np.uint8)
+    return a.tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -82,15 +174,21 @@ def write_number(v: int) -> bytes:
 
 
 def read_number(buf, pos: int) -> Tuple[int, int]:
+    if pos >= len(buf):
+        raise QzError(QZ_DATA_ERROR, "7z: truncated number")
     first = buf[pos]
     pos += 1
     mask = 0x80
     for i in range(8):
         if not (first & mask):
+            if pos + i > len(buf):
+                raise QzError(QZ_DATA_ERROR, "7z: truncated number")
             low = int.from_bytes(bytes(buf[pos:pos + i]), "little")
             high = first & (mask - 1)
             return low | (high << (8 * i)), pos + i
         mask >>= 1
+    if pos + 8 > len(buf):
+        raise QzError(QZ_DATA_ERROR, "7z: truncated number")
     return int.from_bytes(bytes(buf[pos:pos + 8]), "little"), pos + 8
 
 
@@ -112,6 +210,8 @@ def _write_bitmap(bits: List[bool]) -> bytes:
 
 def _read_bitmap(buf, pos, n) -> Tuple[List[bool], int]:
     nb = (n + 7) // 8
+    if pos + nb > len(buf):
+        raise QzError(QZ_DATA_ERROR, "7z: truncated bitmap")
     bits = []
     for i in range(n):
         bits.append(bool(buf[pos + (i >> 3)] & (0x80 >> (i & 7))))
@@ -183,7 +283,8 @@ FOLDER_LIMIT = 512 << 20   # reference chunks the stream at 512 MB
 
 def create_7z(inputs: List[str], out_path: str, sess=None,
               recursive: bool = True,
-              folder_limit: int = FOLDER_LIMIT) -> Tuple[int, int]:
+              folder_limit: int = FOLDER_LIMIT,
+              encode_header: bool = False) -> Tuple[int, int]:
     """Create a .7z archive: non-empty file contents concatenated into
     DEFLATE folder streams, one folder per ``folder_limit`` bytes
     (reference doCompressFile strategy, 512 MB chunks,
@@ -327,16 +428,51 @@ def create_7z(inputs: List[str], out_path: str, sess=None,
     hdr.append(K_END)  # Header end
 
     # --- assemble ------------------------------------------------------------
-    next_hdr_off = len(packed)
-    next_hdr_crc = zlib.crc32(bytes(hdr)) & 0xFFFFFFFF
-    start = struct.pack("<QQI", next_hdr_off, len(hdr), next_hdr_crc)
+    hdr = bytes(hdr)
+    if encode_header:
+        # compress the end header into its own deflate folder and describe
+        # it with a K_ENCODED_HEADER streams-info tree (the layout stock
+        # 7-Zip writes by default, here with our deflate coder)
+        hdr_packed = _deflate(hdr)
+        hdr_crc = zlib.crc32(hdr) & 0xFFFFFFFF
+        tree = bytearray([K_ENCODED_HEADER])
+        tree.append(K_PACK_INFO)
+        tree += write_number(len(packed))      # pack pos of the hdr stream
+        tree += write_number(1)
+        tree.append(K_SIZE)
+        tree += write_number(len(hdr_packed))
+        tree.append(K_END)
+        tree.append(K_UNPACK_INFO)
+        tree.append(K_FOLDER)
+        tree += write_number(1)
+        tree.append(0)                         # external = 0
+        tree += write_number(1)                # one coder
+        tree.append(len(CODEC_DEFLATE))
+        tree += CODEC_DEFLATE
+        tree.append(K_CODERS_UNPACK_SIZE)
+        tree += write_number(len(hdr))
+        tree.append(K_CRC)
+        tree.append(1)
+        tree += struct.pack("<I", hdr_crc)
+        tree.append(K_END)
+        tree.append(K_END)
+        tail = hdr_packed + bytes(tree)
+        next_hdr_off = len(packed) + len(hdr_packed)
+        next_hdr_blob = bytes(tree)
+    else:
+        tail = hdr
+        next_hdr_off = len(packed)
+        next_hdr_blob = hdr
+    next_hdr_crc = zlib.crc32(next_hdr_blob) & 0xFFFFFFFF
+    start = struct.pack("<QQI", next_hdr_off, len(next_hdr_blob),
+                        next_hdr_crc)
     start_crc = zlib.crc32(start) & 0xFFFFFFFF
     with open(out_path, "wb") as out:
         out.write(MAGIC + VERSION + struct.pack("<I", start_crc) + start)
         out.write(packed)
-        out.write(hdr)
+        out.write(tail)
     total_in = sum(e.size for e in entries)
-    return total_in, 32 + len(packed) + len(hdr)
+    return total_in, 32 + len(packed) + len(tail)
 
 
 # ---------------------------------------------------------------------------
@@ -355,25 +491,33 @@ class _Coder:
 class _Folder:
     coders: List[_Coder] = field(default_factory=list)
     bind_pairs: List[Tuple[int, int]] = field(default_factory=list)
-    packed_indices: List[int] = field(default_factory=list)
+    packed_in_indices: List[int] = field(default_factory=list)  # in-stream idx
+    first_pack: int = 0          # global index of this folder's first pack
+    num_packed: int = 1
     unpack_sizes: List[int] = field(default_factory=list)
     crc: Optional[int] = None
 
-    def output_size(self) -> int:
-        # output stream = the one not consumed by a bind pair
+    def main_out_index(self) -> int:
+        """The folder's output = the coder out-stream no bind pair consumes."""
         bound_outs = {o for (_i, o) in self.bind_pairs}
-        idx = 0
-        for ci, c in enumerate(self.coders):
-            for k in range(c.nout):
-                if idx not in bound_outs:
-                    return self.unpack_sizes[idx]
-                idx += 1
-        return self.unpack_sizes[-1]
+        nout = sum(c.nout for c in self.coders)
+        for idx in range(nout):
+            if idx not in bound_outs:
+                return idx
+        raise QzError(QZ_DATA_ERROR, "7z: folder has no unbound output")
+
+    def output_size(self) -> int:
+        return self.unpack_sizes[self.main_out_index()]
 
 
 def _decode_coder(coder: _Coder, data: bytes, out_size: int) -> bytes:
     if coder.codec == CODEC_COPY:
         return data[:out_size]
+    if coder.codec == CODEC_BCJ_X86:
+        return bcj_x86_filter(data, encode=False)[:out_size]
+    if coder.codec == CODEC_DELTA:
+        dist = (coder.props[0] + 1) if coder.props else 1
+        return delta_filter(data, dist, encode=False)[:out_size]
     if coder.codec == CODEC_DEFLATE:
         try:
             return zlib.decompressobj(-15).decompress(data, out_size)
@@ -419,8 +563,11 @@ class _HeaderParser:
         self.sub_crcs: List[Optional[int]] = []
         self.files: List[dict] = []
 
-    # -- primitives -----------------------------------------------------------
+    # -- primitives (bounds-checked: a truncated or corrupt end-header
+    # surfaces as QZ_DATA_ERROR, never a raw IndexError/struct.error) ------
     def byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise QzError(QZ_DATA_ERROR, "7z: truncated header")
         b = self.buf[self.pos]
         self.pos += 1
         return b
@@ -430,6 +577,8 @@ class _HeaderParser:
         return v
 
     def take(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.buf):
+            raise QzError(QZ_DATA_ERROR, "7z: truncated header")
         d = self.buf[self.pos:self.pos + n]
         self.pos += n
         return d
@@ -517,11 +666,17 @@ class _HeaderParser:
                 o = self.num()
                 f.bind_pairs.append((i, o))
             npacked = total_in - nbind
+            f.first_pack = pack_index   # pack streams are consumed
+            f.num_packed = npacked      # sequentially across folders
             if npacked == 1:
-                # pack streams are consumed sequentially across folders
-                f.packed_indices = [pack_index]
+                bound_ins = {i for (i, _o) in f.bind_pairs}
+                f.packed_in_indices = [
+                    i for i in range(total_in) if i not in bound_ins]
+                if len(f.packed_in_indices) != 1:
+                    raise QzError(QZ_DATA_ERROR, "7z: bad folder bindings")
             else:
-                f.packed_indices = [self.num() for _ in range(npacked)]
+                # explicit in-stream indices for each pack stream
+                f.packed_in_indices = [self.num() for _ in range(npacked)]
             pack_index += npacked
             f._total_out = total_out
             self.folders.append(f)
@@ -674,27 +829,92 @@ def _read_header(fh) -> Tuple[bytes, int]:
 
 def _decode_folder(fh, folder: _Folder, pack_offsets: List[int],
                    pack_sizes: List[int], base: int) -> bytes:
-    """Decode a folder's coder chain (single-path chains only)."""
-    # read packed streams
+    """Decode a folder by resolving its bind-pair dataflow graph.
+
+    Stock 7z lists filter chains in arbitrary declaration order (BCJ often
+    precedes the compressor); the decode order comes from the bind pairs:
+    pack streams feed unbound coder inputs, each bind pair (in, out) wires
+    one coder's output into another's input, and the folder's result is the
+    single unbound output (utils/qzip_7z.c resolver surface :784-1537).
+    """
     packs = []
-    for pi in folder.packed_indices:
+    for j in range(folder.num_packed):
+        pi = folder.first_pack + j
         fh.seek(base + pack_offsets[pi])
         packs.append(fh.read(pack_sizes[pi]))
-    if len(folder.coders) == 1:
-        return _decode_coder(folder.coders[0], packs[0],
-                             folder.unpack_sizes[0])
-    # chain: decode in coder order following bind pairs (simple linear chain)
-    data = packs[0]
-    out = data
-    for ci, coder in enumerate(folder.coders):
-        out = _decode_coder(coder, out, folder.unpack_sizes[ci])
-    return out
+
+    # in-stream index -> its source; out-stream index -> owning coder
+    in_src = {}
+    for j, ii in enumerate(folder.packed_in_indices):
+        in_src[ii] = ("pack", j)
+    for (ii, oi) in folder.bind_pairs:
+        in_src[ii] = ("out", oi)
+    out_owner = {}
+    in_base = out_base = 0
+    for c in folder.coders:
+        for k in range(c.nout):
+            out_owner[out_base + k] = (c, in_base)
+        in_base += c.nin
+        out_base += c.nout
+
+    memo = {}
+
+    def decode_out(oi: int, depth: int = 0) -> bytes:
+        if depth > 16:
+            raise QzError(QZ_DATA_ERROR, "7z: coder graph too deep")
+        if oi in memo:
+            return memo[oi]
+        if oi not in out_owner:
+            raise QzError(QZ_DATA_ERROR, "7z: bad bind-pair out index")
+        coder, ib = out_owner[oi]
+        if coder.nin != 1 or coder.nout != 1:
+            raise QzError(QZ_DATA_ERROR,
+                          "7z: multi-stream coder (BCJ2?) unsupported")
+        src = in_src.get(ib)
+        if src is None:
+            raise QzError(QZ_DATA_ERROR, "7z: unbound coder input")
+        data = (packs[src[1]] if src[0] == "pack"
+                else decode_out(src[1], depth + 1))
+        out = _decode_coder(coder, data, folder.unpack_sizes[oi])
+        memo[oi] = out
+        return out
+
+    return decode_out(folder.main_out_index())
+
+
+def _safe_join(dest_root: str, name: str) -> str:
+    """Join an archive-supplied name under dest_root, rejecting absolute
+    names and any path that escapes the destination (zip-slip)."""
+    name = name.replace("\\", "/")
+    if name.startswith("/") or (len(name) > 1 and name[1] == ":"):
+        raise QzError(QZ_DATA_ERROR, f"7z: absolute entry name {name!r}")
+    norm = os.path.normpath(name)
+    if norm == ".." or norm.startswith("../" ) or os.path.isabs(norm):
+        raise QzError(QZ_DATA_ERROR, f"7z: entry escapes archive root: {name!r}")
+    return os.path.join(dest_root, norm)
+
+
+def _check_parent(path: str, dest_root: str):
+    """Refuse to write through a symlinked parent that escapes dest_root
+    (a symlink extracted earlier must not redirect later writes)."""
+    parent = os.path.dirname(path) or "."
+    real_parent = os.path.realpath(parent)
+    root = os.path.realpath(dest_root)
+    if real_parent != root and not real_parent.startswith(root + os.sep):
+        raise QzError(QZ_DATA_ERROR,
+                      f"7z: refusing to write outside destination: {path!r}")
 
 
 def extract_7z(archive: str, dest_dir: str = ".",
                verify_crc: bool = True) -> List[str]:
-    """Extract a .7z archive. Returns the list of extracted paths."""
+    """Extract a .7z archive. Returns the list of extracted paths.
+
+    Hardened against hostile archives: entry names are sanitized against
+    directory traversal, writes through symlinked parents are refused, and
+    symlink entries are created last so they cannot redirect file writes.
+    """
     written: List[str] = []
+    os.makedirs(dest_dir, exist_ok=True)
     with open(archive, "rb") as fh:
         hdr, _ = _read_header(fh)
         if hdr and hdr[0] == K_ENCODED_HEADER:
@@ -709,7 +929,9 @@ def extract_7z(archive: str, dest_dir: str = ".",
         p = _HeaderParser(hdr)
         p.parse_header()
 
-        # substream payloads, in folder order
+        # substream payloads, in folder order; single-stream folders with
+        # only a folder CRC (stock 7-Zip's common layout) are verified
+        # against folder.crc — sub_crcs holds None for those
         payloads: List[bytes] = []
         crcs: List[Optional[int]] = []
         if p.folders:
@@ -720,6 +942,10 @@ def extract_7z(archive: str, dest_dir: str = ".",
             for fi, folder in enumerate(p.folders):
                 data = _decode_folder(fh, folder, offs, p.pack_sizes,
                                       32 + p.pack_pos)
+                if verify_crc and folder.crc is not None:
+                    if zlib.crc32(data) & 0xFFFFFFFF != folder.crc:
+                        raise QzError(QZ_DATA_ERROR,
+                                      f"7z: folder {fi} CRC mismatch")
                 n = (p.num_unpack_streams[fi]
                      if p.num_unpack_streams else 1)
                 sizes = (p.sub_sizes[fi] if p.sub_sizes
@@ -731,17 +957,20 @@ def extract_7z(archive: str, dest_dir: str = ".",
                     pos += sizes[k]
                     si += 1
 
+        symlinks = []   # (path, target, mtime) — created after all files
         sidx = 0
         for fobj in p.files:
             name = fobj["name"] or f"file{sidx}"
-            path = os.path.join(dest_dir, name)
+            path = _safe_join(dest_dir, name)
             attr = fobj["attr"] or 0
             is_dir = bool(attr & 0x10) or (
                 fobj["empty_stream"] and not fobj["empty_file"])
             if is_dir:
+                _check_parent(path, dest_dir)
                 os.makedirs(path, exist_ok=True)
                 written.append(path)
                 continue
+            _check_parent(path, dest_dir)
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             if fobj["empty_stream"]:
                 data = b""
@@ -754,17 +983,27 @@ def extract_7z(archive: str, dest_dir: str = ".",
                 sidx += 1
             unix_mode = (attr >> 16) & 0xFFFF
             if (attr & 0x8000) and statmod.S_ISLNK(unix_mode):
-                if os.path.lexists(path):
-                    os.unlink(path)
-                os.symlink(data.decode(errors="surrogateescape"), path)
-                written.append(path)
+                symlinks.append((path, data.decode(errors="surrogateescape"),
+                                 fobj["mtime"]))
                 continue
+            _check_parent(path, dest_dir)   # re-check after makedirs
             with open(path, "wb") as out:
                 out.write(data)
             if attr & 0x8000:
                 os.chmod(path, (attr >> 16) & 0o7777 or 0o644)
             if fobj["mtime"]:
                 os.utime(path, (fobj["mtime"], fobj["mtime"]))
+            written.append(path)
+        for path, target, mtime in symlinks:
+            _check_parent(path, dest_dir)
+            try:
+                if os.path.lexists(path):
+                    os.unlink(path)
+                os.symlink(target, path)
+            except OSError as e:
+                raise QzError(QZ_DATA_ERROR,
+                              f"7z: cannot create symlink {path!r}: {e}") \
+                    from None
             written.append(path)
     return written
 
