@@ -73,6 +73,81 @@ uint32_t qz_xxh32(const uint8_t* data, uint64_t len, uint32_t seed) {
 }
 
 // ---------------------------------------------------------------------------
+// CRC64 — configurable polynomial, slicing-by-8 (the data-path-speed engine
+// behind the v2.3 CRC64 API; the reference declares but never implements it,
+// include/qatzip.h:742-753)
+// ---------------------------------------------------------------------------
+
+// qz_crc64_tables fills tbl[8*256] for (poly, reflect_in). Stateless so the
+// Python side caches tables per config.
+void qz_crc64_tables(uint64_t poly, int32_t reflected, uint64_t* tbl) {
+  if (reflected) {
+    uint64_t rp = 0;  // bit-reverse the polynomial
+    for (int i = 0; i < 64; ++i) rp |= ((poly >> i) & 1u) << (63 - i);
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint64_t c = i;
+      for (int k = 0; k < 8; ++k) c = (c >> 1) ^ (rp & (~((c & 1) - 1)));
+      tbl[i] = c;
+    }
+    for (int t = 1; t < 8; ++t)
+      for (uint32_t i = 0; i < 256; ++i)
+        tbl[t * 256 + i] =
+            (tbl[(t - 1) * 256 + i] >> 8) ^ tbl[tbl[(t - 1) * 256 + i] & 0xFF];
+  } else {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint64_t c = (uint64_t)i << 56;
+      for (int k = 0; k < 8; ++k)
+        c = (c << 1) ^ (poly & (~(((c >> 63) & 1) - 1)));
+      tbl[i] = c;
+    }
+    for (int t = 1; t < 8; ++t)
+      for (uint32_t i = 0; i < 256; ++i)
+        tbl[t * 256 + i] = (tbl[(t - 1) * 256 + i] << 8) ^
+                           tbl[(tbl[(t - 1) * 256 + i] >> 56) & 0xFF];
+  }
+}
+
+uint64_t qz_crc64(const uint8_t* data, int64_t n, const uint64_t* tbl,
+                  uint64_t crc, int32_t reflected) {
+  const uint8_t* p = data;
+  if (reflected) {
+    while (n >= 8) {
+      uint64_t w;
+      std::memcpy(&w, p, 8);
+      w ^= crc;
+      crc = tbl[7 * 256 + (w & 0xFF)] ^ tbl[6 * 256 + ((w >> 8) & 0xFF)] ^
+            tbl[5 * 256 + ((w >> 16) & 0xFF)] ^
+            tbl[4 * 256 + ((w >> 24) & 0xFF)] ^
+            tbl[3 * 256 + ((w >> 32) & 0xFF)] ^
+            tbl[2 * 256 + ((w >> 40) & 0xFF)] ^
+            tbl[1 * 256 + ((w >> 48) & 0xFF)] ^ tbl[(w >> 56) & 0xFF];
+      p += 8;
+      n -= 8;
+    }
+    while (n-- > 0) crc = (crc >> 8) ^ tbl[(crc ^ *p++) & 0xFF];
+  } else {
+    while (n >= 8) {
+      // big-endian polynomial order: byte i pairs with table 7-i
+      crc ^= ((uint64_t)p[0] << 56) | ((uint64_t)p[1] << 48) |
+             ((uint64_t)p[2] << 40) | ((uint64_t)p[3] << 32) |
+             ((uint64_t)p[4] << 24) | ((uint64_t)p[5] << 16) |
+             ((uint64_t)p[6] << 8) | (uint64_t)p[7];
+      crc = tbl[7 * 256 + ((crc >> 56) & 0xFF)] ^
+            tbl[6 * 256 + ((crc >> 48) & 0xFF)] ^
+            tbl[5 * 256 + ((crc >> 40) & 0xFF)] ^
+            tbl[4 * 256 + ((crc >> 32) & 0xFF)] ^
+            tbl[3 * 256 + ((crc >> 24) & 0xFF)] ^
+            tbl[2 * 256 + ((crc >> 16) & 0xFF)] ^
+            tbl[1 * 256 + ((crc >> 8) & 0xFF)] ^ tbl[crc & 0xFF];
+      p += 8;
+      n -= 8;
+    }
+    while (n-- > 0) crc = (crc << 8) ^ tbl[((crc >> 56) ^ *p++) & 0xFF];
+  }
+  return crc;
+}
+
+// ---------------------------------------------------------------------------
 // LZ4 block codec (format per the public LZ4 block spec)
 // ---------------------------------------------------------------------------
 static const int LZ4_MINMATCH = 4;
@@ -946,7 +1021,11 @@ int64_t qz_lz4_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
     }
     int ml = tok_len(t);
     int dist = tok_dist(t);
-    if (ml < LZ4_MINMATCH || dist < 1 || pos + ml > n) return -1;
+    // trust boundary: the 2-byte LZ4 offset field cannot express dist >
+    // 65535 — reject instead of truncating to an invalid offset-0 stream
+    // (mirrors qz_deflate_pack's distance check at the C ABI)
+    if (ml < LZ4_MINMATCH || dist < 1 || dist > 65535 || pos + ml > n)
+      return -1;
     int64_t advance = ml;
     if (pos > n - 12) { pos += advance; continue; }          // demote
     int64_t maxend = n - 5;
@@ -989,7 +1068,8 @@ int64_t qz_lz4s_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
     }
     int ml = tok_len(t);
     int dist = tok_dist(t);
-    if (ml < (int)base + 1 || dist < 1 || pos + ml > n) return -1;
+    if (ml < (int)base + 1 || dist < 1 || dist > 65535 || pos + ml > n)
+      return -1;
     size_t lit = (size_t)(pos - anchor);
     size_t stored = (size_t)ml - base;
     size_t need = 1 + lit / 255 + 1 + lit + 2 + 1 + stored / 255;

@@ -192,11 +192,22 @@ def effective_deflate_sw_level(level: int) -> int:
     return 9
 
 
-_RC_NAMES = {
-    v: k
-    for k, v in list(globals().items())
-    if k.startswith(("QZ_", "AQZ_")) and isinstance(v, int) and not k.endswith("_DEFAULT")
-}
+# Only genuine return codes — config/limit constants like
+# QZ_LZ4_COMP_LVL_MINIMUM share values with rc codes and must not shadow
+# their names in error messages.
+_RC_CODE_NAMES = (
+    "QZ_OK", "QZ_DUPLICATE", "QZ_FORCE_SW", "QZ_PARAMS", "QZ_FAIL",
+    "QZ_BUF_ERROR", "QZ_DATA_ERROR", "QZ_TIMEOUT", "QZ_INTEG", "QZ_NO_HW",
+    "QZ_NO_MDRV", "QZ_NO_INST_ATTACH", "QZ_LOW_MEM", "QZ_LOW_DEST_MEM",
+    "QZ_UNSUPPORTED_FMT", "QZ_NONE", "QZ_NOSW_NO_HW", "QZ_NOSW_NO_MDRV",
+    "QZ_NOSW_NO_INST_ATTACH", "QZ_NOSW_LOW_MEM", "QZ_NO_SW_AVAIL",
+    "QZ_NOSW_UNSUPPORTED_FMT", "QZ_POST_PROCESS_ERROR",
+    "QZ_METADATA_OVERFLOW", "QZ_OUT_OF_RANGE", "QZ_NOT_SUPPORTED",
+    "AQZ_OK", "AQZ_NO_SPACE", "AQZ_STOPPED",
+)
+_RC_NAMES: dict = {}
+for _k in _RC_CODE_NAMES:
+    _RC_NAMES.setdefault(globals()[_k], _k)  # first (QZ_*) name wins
 
 
 def rc_name(rc: int) -> str:

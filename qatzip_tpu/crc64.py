@@ -43,11 +43,21 @@ def _reflect(v: int, bits: int) -> int:
 
 
 class Crc64:
-    """Table-driven CRC64 engine for an arbitrary Crc64Config."""
+    """Table-driven CRC64 engine for an arbitrary Crc64Config.
+
+    Data-path speed comes from the native slicing-by-8 kernel
+    (csrc qz_crc64, ~GB/s); the per-byte Python loop remains as the
+    no-native fallback and the correctness oracle in tests.
+    """
 
     def __init__(self, config: Optional[Crc64Config] = None):
         self.config = config or Crc64Config()
         self._table = self._build_table()
+        self._ntbl = None
+        from . import native as _native
+        if _native.lib is not None:
+            self._ntbl = _native.lib.crc64_tables(self.config.polynomial,
+                                                  self.config.reflect_in)
 
     def _build_table(self) -> List[int]:
         cfg = self.config
@@ -73,6 +83,13 @@ class Crc64:
     def compute(self, data: bytes, crc: Optional[int] = None) -> int:
         cfg = self.config
         c = cfg.initial_value if crc is None else crc
+        if self._ntbl is not None:
+            from . import native as _native
+            return _native.lib.crc64(data, self._ntbl, c, cfg.reflect_in)
+        return self._compute_py(data, c)
+
+    def _compute_py(self, data: bytes, c: int) -> int:
+        cfg = self.config
         t = self._table
         if cfg.reflect_in:
             for byte in data:

@@ -24,11 +24,6 @@ from .ops import crc32
 from .sw.codec import deflate_raw_compress, inflate_raw
 
 
-class ChunkResult(tuple):
-    """(payload: bytes, crc32: int) per chunk."""
-    __slots__ = ()
-
-
 _pool_lock = threading.Lock()
 _pool: Optional[_fut.ThreadPoolExecutor] = None
 

@@ -24,7 +24,6 @@ from .gzip_format import (  # noqa: F401
     output_footer_sz,
     check_header,
     scan_members,
-    is_deflate_processable,
 )
 from .lz4_format import (  # noqa: F401
     LZ4_FRAME_HEADER_SZ,

@@ -286,30 +286,3 @@ def scan_members(buf, data_fmt: DataFormat,
         out.append(m)
         off += m.total_sz
     return out
-
-
-def is_deflate_processable(buf, data_fmt: DataFormat, hw_buff_sz: int,
-                           dest_bound) -> int:
-    """Accelerated-path classifier (reference isQATDeflateProcessable,
-    qatzip_gzip.c:135-180). Returns 1 (yes), 0 (no — route SW), -1 (not a
-    member start / corrupt)."""
-    mv = memoryview(buf)
-    if data_fmt == DataFormat.DEFLATE_4B:
-        if len(mv) < 4:
-            return -1
-        (blk,) = struct.unpack_from("<I", mv, 0)
-        return 1 if blk <= dest_bound(hw_buff_sz) else 0
-    h = parse_gzip_header(mv, 0)
-    if h is None:
-        return -1
-    if h.has_qz_extra:
-        return 1 if (h.src_sz <= hw_buff_sz
-                     and h.dest_sz <= dest_bound(hw_buff_sz)) else 0
-    if h.flag == 0x00:
-        foot = find_std_gzip_footer(mv, 0, len(mv))
-        _, isize = parse_gzip_footer(mv, foot) if foot + 8 <= len(mv) else (0, 1 << 62)
-        payload = foot - h.header_sz
-        if payload > dest_bound(hw_buff_sz) or isize > hw_buff_sz:
-            return 0
-        return 1
-    return 0  # FNAME/FCOMMENT/etc → software path

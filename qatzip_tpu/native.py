@@ -59,6 +59,12 @@ class _NativeLib:
         L.qz_xxh32.restype = ctypes.c_uint32
         L.qz_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                ctypes.c_uint32]
+        _u64p = ctypes.POINTER(ctypes.c_uint64)
+        L.qz_crc64_tables.restype = None
+        L.qz_crc64_tables.argtypes = [ctypes.c_uint64, ctypes.c_int32, _u64p]
+        L.qz_crc64.restype = ctypes.c_uint64
+        L.qz_crc64.argtypes = [_u8p, ctypes.c_int64, _u64p, ctypes.c_uint64,
+                               ctypes.c_int32]
         for name in ("qz_lz4_compress_block",):
             fn = getattr(L, name)
             fn.restype = ctypes.c_int64
@@ -112,6 +118,23 @@ class _NativeLib:
 
     def xxh32(self, data: bytes, seed: int = 0) -> int:
         return self._lib.qz_xxh32(data, len(data), seed & 0xFFFFFFFF)
+
+    def crc64_tables(self, poly: int, reflected: bool) -> np.ndarray:
+        """Build the 8x256 slicing tables for (poly, reflect_in)."""
+        tbl = np.empty(8 * 256, np.uint64)
+        self._lib.qz_crc64_tables(
+            poly & 0xFFFFFFFFFFFFFFFF, 1 if reflected else 0,
+            tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return tbl
+
+    def crc64(self, data, tbl: np.ndarray, crc: int, reflected: bool) -> int:
+        sa = (np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray)
+              else data)
+        n = len(sa)
+        return int(self._lib.qz_crc64(
+            self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
+            n, tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            crc & 0xFFFFFFFFFFFFFFFF, 1 if reflected else 0))
 
     def lz4_compress_block(self, src: bytes, max_distance: int = 65535) -> bytes:
         n = len(src)

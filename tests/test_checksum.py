@@ -49,3 +49,33 @@ def test_xxh32_streaming_matches_oneshot():
     for off in range(0, len(data), 97):
         st.update(data[off:off + 97])
     assert st.digest() == xxh32(data, 5)
+
+
+def test_crc64_native_matches_python_oracle():
+    """The slicing-by-8 native CRC64 must agree with the per-byte Python
+    reference across configs, lengths, and streaming continuation."""
+    import os
+    from qatzip_tpu import native
+    from qatzip_tpu.crc64 import Crc64, Crc64Config
+
+    if native.lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    data = os.urandom(5000)
+    configs = [
+        Crc64Config(),
+        Crc64Config(reflect_in=True, reflect_out=True,
+                    initial_value=(1 << 64) - 1, xor_out=(1 << 64) - 1),
+        Crc64Config(polynomial=0xAD93D23594C935A9, reflect_in=True,
+                    reflect_out=True),
+    ]
+    for cfg in configs:
+        e = Crc64(cfg)
+        assert e._ntbl is not None
+        for n in (0, 1, 7, 8, 9, 63, 1000, 5000):
+            d = data[:n]
+            assert e.compute(d) == e._compute_py(d, cfg.initial_value)
+        # streaming continuation equivalence
+        c = e.compute(data[:1234])
+        c = e.compute(data[1234:], c)
+        assert c == e.compute(data)
