@@ -9,14 +9,16 @@ qatzip_internal.h:580-604), ``aqzInit`` spawning submit threads
 (:4202-4330), and completion callbacks into user code.
 
 TPU-native re-design: instead of per-request DP submissions, worker
-threads drain the queue in batches and hand each batch to the chunk engine
-as one device dispatch — batching is what makes a vector machine fast, and
-it plays the role the 32-deep DMA ring plays for QAT. Within a drained
-batch, a session's requests complete in submission order (the dcCallback
-ordering invariant, src/qatzip.c:241-272); across batches with multiple
-workers, callbacks may interleave — stitch by your external tag, exactly
-as the reference's async samples do (utils/aqzip.c indexes completions by
-request id).
+threads drain the queue in batches; a drained batch's plain compress
+requests per (session, direction) are coalesced into ONE batched engine
+dispatch (QzSession.compress_batch flattens every request's chunks into a
+single device call) — batching is what makes a vector machine fast, and
+it plays the role the 32-deep DMA ring plays for QAT. Decompress and
+hash/chain requests run per-request. Within a drained batch, a session's
+requests complete in submission order (the dcCallback ordering invariant,
+src/qatzip.c:241-272); across batches with multiple workers, callbacks may
+interleave — stitch by your external tag, exactly as the reference's async
+samples do (utils/aqzip.c indexes completions by request id).
 """
 
 from __future__ import annotations
@@ -136,27 +138,52 @@ class AQzRuntime:
 
     @staticmethod
     def _process_group(reqs: List[_Request], direction: Direction):
+        """Run one (session, direction) group: plain compress requests are
+        coalesced into a single batched engine dispatch
+        (QzSession.compress_batch); hash/chain and decompress requests run
+        per-request. Completions fire in submission (seq) order."""
         sess = reqs[0].session
-        for r in sorted(reqs, key=lambda r: r.seq):
-            digest = None
+        ordered = sorted(reqs, key=lambda r: r.seq)
+        outs = {}   # seq -> (out, crc, rc, digest)
+
+        plain = [r for r in ordered
+                 if direction == Direction.DIR_COMPRESS
+                 and r.hash_algo is None and not r.hash_only]
+        if len(plain) > 1:
             try:
-                if r.hash_algo is not None:
-                    import hashlib
-                    digest = hashlib.new(r.hash_algo, r.src).digest()
-                if r.hash_only:
-                    out, crc, rc = b"", 0, QZ_OK
-                elif direction == Direction.DIR_COMPRESS:
-                    out, crc = sess.compress(r.src, last=r.last,
-                                             with_crc=True)
-                    rc = QZ_OK
-                else:
-                    out = sess.decompress(r.src)
-                    crc = 0
-                    rc = QZ_OK
+                batch = sess.compress_batch([r.src for r in plain])
+                for r, (out, crc) in zip(plain, batch):
+                    outs[r.seq] = (out, crc, QZ_OK, None)
             except QzError as e:
-                out, crc, rc = b"", 0, e.rc
+                for r in plain:
+                    outs[r.seq] = (b"", 0, e.rc, None)
             except Exception:  # noqa: BLE001
-                out, crc, rc = b"", 0, QZ_FAIL
+                for r in plain:
+                    outs[r.seq] = (b"", 0, QZ_FAIL, None)
+
+        for r in ordered:
+            if r.seq not in outs:
+                digest = None
+                try:
+                    if r.hash_algo is not None:
+                        import hashlib
+                        digest = hashlib.new(r.hash_algo, r.src).digest()
+                    if r.hash_only:
+                        out, crc, rc = b"", 0, QZ_OK
+                    elif direction == Direction.DIR_COMPRESS:
+                        out, crc = sess.compress(r.src, last=r.last,
+                                                 with_crc=True)
+                        rc = QZ_OK
+                    else:
+                        out = sess.decompress(r.src)
+                        crc = 0
+                        rc = QZ_OK
+                except QzError as e:
+                    out, crc, rc = b"", 0, e.rc
+                except Exception:  # noqa: BLE001
+                    out, crc, rc = b"", 0, QZ_FAIL
+                outs[r.seq] = (out, crc, rc, digest)
+            out, crc, rc, digest = outs[r.seq]
             try:
                 if r.hash_algo is not None:
                     r.callback(r.external, r.src, out, rc, crc, digest)

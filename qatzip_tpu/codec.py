@@ -83,20 +83,26 @@ def compress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
     return out, crc
 
 
-def _engine_compress(data: bytes, *, algorithm: str, data_fmt: DataFormat,
-                     level: int, hw_buff_sz: int, engine, mini_match: int,
-                     huffman_static: bool) -> Tuple[bytes, int]:
+def _request_chunks(data: bytes, algorithm: str, data_fmt: DataFormat,
+                    hw_buff_sz: int):
+    """Split one request into engine chunks + per-chunk final flags."""
     if algorithm in ("lz4", "lz4s"):
         hw_buff_sz = min(hw_buff_sz, 64 * 1024)  # LZ4 max block 64KB (BD=4)
     chunks = _split_chunks(data, hw_buff_sz)
-
     if algorithm == "deflate" and data_fmt in (DataFormat.DEFLATE_RAW,
                                                DataFormat.ZLIB):
         finals = [False] * (len(chunks) - 1) + [True]
-        results = engine.compress_chunks(chunks, level=level,
-                                         algorithm="deflate",
-                                         final_flags=finals,
-                                         huffman_static=huffman_static)
+    else:
+        finals = [True] * len(chunks)
+    return chunks, finals
+
+
+def _frame_results(data: bytes, chunks: List[bytes], results,
+                   algorithm: str, data_fmt: DataFormat) -> Tuple[bytes, int]:
+    """Stitch one request's ordered chunk results into framed output
+    (the doCompressOut header/payload/footer + crc32_combine walk)."""
+    if algorithm == "deflate" and data_fmt in (DataFormat.DEFLATE_RAW,
+                                               DataFormat.ZLIB):
         body = b"".join(p for p, _ in results)
         total_crc = 0
         for (p, c), ch in zip(results, chunks):
@@ -109,9 +115,6 @@ def _engine_compress(data: bytes, *, algorithm: str, data_fmt: DataFormat,
         return body, total_crc
 
     if algorithm == "deflate":
-        results = engine.compress_chunks(chunks, level=level,
-                                         algorithm="deflate",
-                                         huffman_static=huffman_static)
         parts: List[bytes] = []
         total_crc = 0
         for (payload, ccrc), chunk in zip(results, chunks):
@@ -122,7 +125,6 @@ def _engine_compress(data: bytes, *, algorithm: str, data_fmt: DataFormat,
         return b"".join(parts), total_crc
 
     if algorithm == "lz4":
-        results = engine.compress_chunks(chunks, level=level, algorithm="lz4")
         parts = [lz4_frame_header(len(data))]
         total_crc = 0
         for (payload, ccrc), chunk in zip(results, chunks):
@@ -137,9 +139,6 @@ def _engine_compress(data: bytes, *, algorithm: str, data_fmt: DataFormat,
         return b"".join(parts), total_crc
 
     if algorithm == "lz4s":
-        results = engine.compress_chunks(chunks, level=level,
-                                         algorithm="lz4s",
-                                         mini_match=mini_match)
         parts = []
         total_crc = 0
         for (payload, ccrc), chunk in zip(results, chunks):
@@ -149,6 +148,52 @@ def _engine_compress(data: bytes, *, algorithm: str, data_fmt: DataFormat,
         return b"".join(parts), total_crc
 
     raise QzError(QZ_DATA_ERROR, f"unknown algorithm {algorithm}")
+
+
+def _engine_compress(data: bytes, *, algorithm: str, data_fmt: DataFormat,
+                     level: int, hw_buff_sz: int, engine, mini_match: int,
+                     huffman_static: bool) -> Tuple[bytes, int]:
+    chunks, finals = _request_chunks(data, algorithm, data_fmt, hw_buff_sz)
+    results = engine.compress_chunks(chunks, level=level, algorithm=algorithm,
+                                     final_flags=finals,
+                                     mini_match=mini_match,
+                                     huffman_static=huffman_static)
+    return _frame_results(data, chunks, results, algorithm, data_fmt)
+
+
+def compress_buffers(datas: List[bytes], *, algorithm: str,
+                     data_fmt: DataFormat, level: int, hw_buff_sz: int,
+                     engine, mini_match: int = 3,
+                     huffman_static: bool = False) -> List[Tuple[bytes, int]]:
+    """Compress MANY requests through ONE engine batch call.
+
+    This is the async engine's cross-request batching path: all requests'
+    chunks are flattened into a single device dispatch (the vector-machine
+    analog of the reference's 32-deep per-instance ring absorbing many
+    small aqzCompress submissions), then each request's results are framed
+    independently in submission order. Returns [(framed_out, crc32), ...].
+    """
+    flat_chunks: List[bytes] = []
+    flat_finals: List[bool] = []
+    spans = []
+    per_req = []
+    for data in datas:
+        chunks, finals = _request_chunks(data, algorithm, data_fmt,
+                                         hw_buff_sz)
+        spans.append((len(flat_chunks), len(chunks)))
+        per_req.append(chunks)
+        flat_chunks.extend(chunks)
+        flat_finals.extend(finals)
+    results = engine.compress_chunks(flat_chunks, level=level,
+                                     algorithm=algorithm,
+                                     final_flags=flat_finals,
+                                     mini_match=mini_match,
+                                     huffman_static=huffman_static)
+    out = []
+    for data, (start, cnt), chunks in zip(datas, spans, per_req):
+        out.append(_frame_results(data, chunks, results[start:start + cnt],
+                                  algorithm, data_fmt))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -217,25 +217,36 @@ class _NativeLib:
             raise RuntimeError(f"zstd decompress failed rc={r}")
         return dst[:r].tobytes()
 
+    @staticmethod
+    def _pool():
+        from .memory import default_pool
+        return default_pool
+
     def deflate_pack(self, src, tokens: np.ndarray, ntok: int,
                      final: bool = True, mode: int = 0) -> bytes:
         """Pack packed-u32 TPU tokens into a raw deflate stream.
 
         mode: 0 = best of stored/static/dynamic, 1 = static, 2 = dynamic.
+        The dst staging buffer is pooled (qz_malloc/qz_free) — this runs
+        once per chunk, the per-instance-buffer-ring hot path.
         """
         n = len(src)
         sa = (np.frombuffer(src, np.uint8) if not isinstance(src, np.ndarray)
               else src)
         toks = np.ascontiguousarray(tokens[:ntok], np.uint32)
         cap = n + n // 8 + 1024
-        dst = np.empty(cap, np.uint8)
-        r = self._lib.qz_deflate_pack(
-            self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
-            n, toks.ctypes.data_as(_u32p), ntok, self._as_u8p(dst), cap,
-            1 if final else 0, mode)
-        if r < 0:
-            raise RuntimeError("deflate pack overflow")
-        return dst[:r].tobytes()
+        pool = self._pool()
+        dst = pool.qz_malloc(cap)
+        try:
+            r = self._lib.qz_deflate_pack(
+                self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
+                n, toks.ctypes.data_as(_u32p), ntok, self._as_u8p(dst), cap,
+                1 if final else 0, mode)
+            if r < 0:
+                raise RuntimeError("deflate pack overflow")
+            return dst[:r].tobytes()
+        finally:
+            pool.qz_free(dst)
 
     def lz4_pack(self, src, tokens: np.ndarray, ntok: int) -> bytes:
         n = len(src)
@@ -243,13 +254,17 @@ class _NativeLib:
               else src)
         toks = np.ascontiguousarray(tokens[:ntok], np.uint32)
         cap = n + n // 128 + 1024
-        dst = np.empty(cap, np.uint8)
-        r = self._lib.qz_lz4_pack(
-            self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
-            n, toks.ctypes.data_as(_u32p), ntok, self._as_u8p(dst), cap)
-        if r <= 0:
-            raise RuntimeError("lz4 pack overflow")
-        return dst[:r].tobytes()
+        pool = self._pool()
+        dst = pool.qz_malloc(cap)
+        try:
+            r = self._lib.qz_lz4_pack(
+                self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
+                n, toks.ctypes.data_as(_u32p), ntok, self._as_u8p(dst), cap)
+            if r <= 0:
+                raise RuntimeError("lz4 pack overflow")
+            return dst[:r].tobytes()
+        finally:
+            pool.qz_free(dst)
 
     def lz4s_pack(self, src, tokens: np.ndarray, ntok: int,
                   mini_match: int = 3) -> bytes:
@@ -258,14 +273,18 @@ class _NativeLib:
               else src)
         toks = np.ascontiguousarray(tokens[:ntok], np.uint32)
         cap = n + n // 128 + 1024
-        dst = np.empty(cap, np.uint8)
-        r = self._lib.qz_lz4s_pack(
-            self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
-            n, toks.ctypes.data_as(_u32p), ntok, self._as_u8p(dst), cap,
-            mini_match)
-        if r <= 0:
-            raise RuntimeError("lz4s pack overflow")
-        return dst[:r].tobytes()
+        pool = self._pool()
+        dst = pool.qz_malloc(cap)
+        try:
+            r = self._lib.qz_lz4s_pack(
+                self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
+                n, toks.ctypes.data_as(_u32p), ntok, self._as_u8p(dst), cap,
+                mini_match)
+            if r <= 0:
+                raise RuntimeError("lz4s pack overflow")
+            return dst[:r].tobytes()
+        finally:
+            pool.qz_free(dst)
 
     def deflate_static_block(self, lits: np.ndarray, lens: np.ndarray,
                              dists: np.ndarray, final: bool = True,

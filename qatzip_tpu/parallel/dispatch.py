@@ -95,6 +95,12 @@ class TpuEngine:
             b = _bucket(len(tile))
             if mesh is not None and b % ndev:
                 b = ((b + ndev - 1) // ndev) * ndev  # divisible batch
+            # NOTE: tile staging deliberately does NOT draw from the
+            # BufferPool: on the CPU backend jnp.asarray may alias the
+            # numpy buffer zero-copy (the PINNED case of the reference's
+            # qzMemFindAddr decision), so recycling it after dispatch
+            # would corrupt in-flight device input. Pooled reuse lives in
+            # the per-chunk pack staging (native.py) and stream staging.
             data = np.zeros((b, n), np.uint8)
             lengths = np.zeros(b, np.int32)
             for i, c in enumerate(tile):

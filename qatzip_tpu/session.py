@@ -189,6 +189,50 @@ class QzSession:
             return out, crc
         return out
 
+    def compress_batch(self, datas):
+        """Compress many independent requests in ONE engine dispatch.
+
+        The async engine's batching primitive: where the reference absorbs
+        many small aqzCompress submissions into a per-instance DMA ring
+        (src/qatzip.c:3578-3652), we flatten the requests' chunks into one
+        batched device call and frame each request separately. Returns
+        [(out, crc32), ...] in submission order.
+        """
+        self._ensure_ready()
+        datas = [bytes(d) for d in datas]
+        c = self.common
+        if c.direction == Direction.DIR_DECOMPRESS:
+            raise QzError(QZ_PARAMS, "session is decompress-only")
+        engine = self._engine
+        if self._legacy_api and c.comp_lvl == 9:
+            engine = None
+        batchable = [i for i, d in enumerate(datas)
+                     if len(d) >= c.input_sz_thrshold]
+        if (engine is None or not batchable
+                or (self.algorithm == "lz4s"
+                    and self.qz_callback is not None)):
+            # per-request path (SW gate / post-process hook semantics)
+            return [self.compress(d, with_crc=True) for d in datas]
+        # requests under the SW threshold keep their per-request SW route
+        # (reference input_sz_thrshold gate, src/qatzip.c:2098-2116)
+        results: list = [None] * len(datas)
+        for i in range(len(datas)):
+            if i not in set(batchable):
+                results[i] = self.compress(datas[i], with_crc=True)
+        batch_out = _codec.compress_buffers(
+            [datas[i] for i in batchable], algorithm=self.algorithm,
+            data_fmt=self.data_fmt, level=c.comp_lvl,
+            hw_buff_sz=c.hw_buff_sz, engine=engine,
+            mini_match=self.mini_match,
+            huffman_static=(self.huffman_hdr == HuffmanHdr.STATIC_HDR))
+        from .ops import crc32_combine
+        for i, (out, crc) in zip(batchable, batch_out):
+            results[i] = (out, crc)
+            self.total_in += len(datas[i])
+            self.total_out += len(out)
+            self.crc32 = crc32_combine(self.crc32, crc, len(datas[i]))
+        return results
+
     # -- decompress --------------------------------------------------------------
     def decompress(self, data, max_out: Optional[int] = None,
                    return_consumed: bool = False):
@@ -250,20 +294,42 @@ def qz_compress(sess: QzSession, src, dst: Optional[bytearray] = None,
                 last: int = 1) -> Tuple[int, int, int]:
     """Buffer-style qzCompress: returns (rc, consumed, produced).
 
-    When ``dst`` is provided, output must fit or QZ_BUF_ERROR is returned
-    with nothing consumed (the reference consumes whole chunks that fit;
-    single-shot callers retry with a larger buffer, utils/qzip.c:333-365).
+    When ``dst`` is too small, whole hw_buff_sz chunks whose members fit
+    are still consumed and QZ_BUF_ERROR reports the partial progress — the
+    reference's retry loop depends on this (utils/qzip.c:333-365 reseeks to
+    src+consumed and grows the buffer).
     """
+    src_b = bytes(src)
     try:
-        out = sess.compress(src, last=bool(last))
+        out = sess.compress(src_b, last=bool(last))
     except QzError as e:
         return e.rc, 0, 0
     if dst is None:
-        return QZ_OK, len(bytes(src)), len(out)
-    if len(out) > len(dst):
+        return QZ_OK, len(src_b), len(out)
+    if len(out) <= len(dst):
+        dst[: len(out)] = out
+        return QZ_OK, len(src_b), len(out)
+    # Partial consume: member formats map chunk i of hw_buff_sz source
+    # bytes onto member i — keep the longest member prefix that fits.
+    if sess.data_fmt not in (DataFormat.DEFLATE_GZIP_EXT,
+                             DataFormat.DEFLATE_GZIP, DataFormat.DEFLATE_4B):
         return QZ_BUF_ERROR, 0, 0
-    dst[: len(out)] = out
-    return QZ_OK, len(bytes(src)), len(out)
+    from .formats import scan_members
+    members = scan_members(out, sess.data_fmt)
+    hw = sess.common.hw_buff_sz
+    produced = consumed = 0
+    for i, m in enumerate(members):
+        if produced + m.total_sz > len(dst):
+            break
+        produced += m.total_sz
+        consumed += min(hw, len(src_b) - consumed)
+    if produced:
+        dst[:produced] = out[:produced]
+    # session totals reflect only the consumed prefix (reference counts
+    # totals as chunks retire, src/qatzip.c:2206-2215)
+    sess.total_in -= len(src_b) - consumed
+    sess.total_out -= len(out) - produced
+    return QZ_BUF_ERROR, consumed, produced
 
 
 def qz_compress_crc(sess: QzSession, src, last: int = 1

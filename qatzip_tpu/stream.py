@@ -33,14 +33,23 @@ from .ops import crc32_combine
 
 
 class QzStream:
-    """Stateful streaming cursor bound to a session."""
+    """Stateful streaming cursor bound to a session.
+
+    The input staging buffer comes from the process-wide BufferPool (the
+    reference's global stream-buffer free list, src/qatzip_stream.c:56-278)
+    and is recycled by ``end()`` — steady-state streaming does no per-unit
+    allocation.
+    """
 
     def __init__(self, session, strm_buff_sz: Optional[int] = None):
         self.session = session
         c = session.common if session.params else None
         self.strm_buff_sz = strm_buff_sz or (c.strm_buff_sz if c else 64 * 1024)
-        self.pending_in = bytearray()
-        self.pending_out = bytearray()
+        from .memory import qz_malloc
+        self._in_buf = qz_malloc(self.strm_buff_sz)  # pooled staging buffer
+        self._in_len = 0
+        self.pending_in = bytearray()   # decompress-side partial-member carry
+        self.pending_out = bytearray()  # bounded-output carry (flush_more)
         self.crc_32 = 0
         self.total_in = 0
         self.total_out = 0
@@ -48,9 +57,25 @@ class QzStream:
         self._raw_decomp = None
         self._ended = False
 
+    def _bound_out(self, out: bytes, max_out: Optional[int]) -> bytes:
+        """Drain pending_out first, return at most ``max_out`` bytes and
+        carry the remainder — the reference's pending_out/flush_more
+        semantics against a fixed-size user buffer
+        (src/qatzip_stream.c:487-503)."""
+        if self.pending_out:
+            out = bytes(self.pending_out) + out
+            self.pending_out.clear()
+        if max_out is not None and len(out) > max_out:
+            self.pending_out += out[max_out:]
+            return out[:max_out]
+        return out
+
     # -- compress ------------------------------------------------------------
-    def compress(self, data=b"", last: bool = False) -> bytes:
-        """Feed ``data``; returns output bytes ready so far.
+    def compress(self, data=b"", last: bool = False,
+                 max_out: Optional[int] = None) -> bytes:
+        """Feed ``data``; returns output bytes ready so far (at most
+        ``max_out`` when given — the remainder is carried in pending_out
+        and drained by subsequent calls).
 
         qzCompressStream analog: batches into strm_buff_sz units; each full
         unit becomes an independent compression (one or more members).
@@ -60,7 +85,7 @@ class QzStream:
         sess = self.session
         sess._ensure_ready()
         fmt = sess.data_fmt
-        self.pending_in += bytes(data)
+        data = bytes(data)
         self.total_in += len(data)
         out = bytearray()
 
@@ -71,37 +96,47 @@ class QzStream:
             if self._raw_comp is None:
                 lvl = effective_deflate_sw_level(sess.common.comp_lvl)
                 self._raw_comp = zlib.compressobj(lvl, zlib.DEFLATED, -15)
-            piece = bytes(self.pending_in)
-            self.pending_in.clear()
-            self.crc_32 = crc32_combine(self.crc_32, zlib.crc32(piece),
-                                        len(piece))
-            out += self._raw_comp.compress(piece)
+            self.crc_32 = crc32_combine(self.crc_32, zlib.crc32(data),
+                                        len(data))
+            out += self._raw_comp.compress(data)
             if last:
                 out += self._raw_comp.flush(zlib.Z_FINISH)
                 self._raw_comp = None
             else:
                 out += self._raw_comp.flush(zlib.Z_FULL_FLUSH)
             self.total_out += len(out)
-            return bytes(out)
+            return self._bound_out(bytes(out), max_out)
 
-        while len(self.pending_in) >= self.strm_buff_sz:
-            unit = bytes(self.pending_in[: self.strm_buff_sz])
-            del self.pending_in[: self.strm_buff_sz]
-            blob, crc = self.session.compress(unit, last=False, with_crc=True)
-            self.crc_32 = crc32_combine(self.crc_32, crc, len(unit))
-            out += blob
-        if last:
-            unit = bytes(self.pending_in)
-            self.pending_in.clear()
-            blob, crc = self.session.compress(unit, last=True, with_crc=True)
-            self.crc_32 = crc32_combine(self.crc_32, crc, len(unit))
-            out += blob
+        # batch into the pooled staging buffer until a unit fills
+        pos = 0
+        while pos < len(data) or (last and pos == 0):
+            take = min(len(data) - pos, self.strm_buff_sz - self._in_len)
+            if take:
+                import numpy as np
+                self._in_buf[self._in_len:self._in_len + take] = \
+                    np.frombuffer(data[pos:pos + take], np.uint8)
+                self._in_len += take
+                pos += take
+            flush_last = last and pos == len(data)
+            if self._in_len == self.strm_buff_sz or flush_last:
+                unit = self._in_buf[:self._in_len].tobytes()
+                self._in_len = 0
+                blob, crc = self.session.compress(unit, last=flush_last,
+                                                  with_crc=True)
+                self.crc_32 = crc32_combine(self.crc_32, crc, len(unit))
+                out += blob
+            if last and pos == len(data):
+                break
+            if pos >= len(data):
+                break
         self.total_out += len(out)
-        return bytes(out)
+        return self._bound_out(bytes(out), max_out)
 
     # -- decompress ------------------------------------------------------------
-    def decompress(self, data=b"", last: bool = False) -> bytes:
-        """Feed compressed ``data``; returns decompressed bytes ready.
+    def decompress(self, data=b"", last: bool = False,
+                   max_out: Optional[int] = None) -> bytes:
+        """Feed compressed ``data``; returns decompressed bytes ready, at
+        most ``max_out`` when given (remainder carried in pending_out).
 
         qzDecompressStream analog: whole members are decoded as they
         complete; a trailing partial member is carried in pending_in.
@@ -126,7 +161,7 @@ class QzStream:
                 raise QzError(QZ_DATA_ERROR, str(e)) from None
             self.pending_in.clear()
             self.total_out += len(piece)
-            return piece
+            return self._bound_out(piece, max_out)
 
         from . import codec as _codec
         try:
@@ -136,15 +171,20 @@ class QzStream:
         except QzError:
             if last:
                 raise
-            return b""
+            return self._bound_out(b"", max_out)
         del self.pending_in[:consumed]
         if last and self.pending_in:
             raise QzError(QZ_DATA_ERROR, "trailing garbage in stream")
         self.total_out += len(out)
-        return out
+        return self._bound_out(out, max_out)
 
     def end(self) -> int:
-        """qzEndStream analog — drop state, recycle buffers."""
+        """qzEndStream analog — drop state, recycle buffers to the pool
+        (src/qatzip_stream.c:751-781)."""
+        from .memory import qz_free
+        if self._in_buf is not None:
+            qz_free(self._in_buf)
+            self._in_buf = None
         self.pending_in = bytearray()
         self.pending_out = bytearray()
         self._raw_comp = None
