@@ -44,7 +44,16 @@ class QzStream:
     def __init__(self, session, strm_buff_sz: Optional[int] = None):
         self.session = session
         c = session.common if session.params else None
-        self.strm_buff_sz = strm_buff_sz or (c.strm_buff_sz if c else 64 * 1024)
+        self.strm_buff_sz = (strm_buff_sz if strm_buff_sz is not None
+                             else (c.strm_buff_sz if c else 64 * 1024))
+        from .constants import (QZ_PARAMS, QZ_STRM_BUFF_MIN_SZ,
+                                QZ_STRM_BUFF_MAX_SZ)
+        if not (QZ_STRM_BUFF_MIN_SZ <= self.strm_buff_sz
+                <= QZ_STRM_BUFF_MAX_SZ):
+            # reference qzCheckParams range for strm_buff_sz
+            # (include/qatzip.h:578, qatzip_utils.c:385-520)
+            raise QzError(QZ_PARAMS,
+                          f"strm_buff_sz {self.strm_buff_sz} out of range")
         from .memory import qz_malloc
         self._in_buf = qz_malloc(self.strm_buff_sz)  # pooled staging buffer
         self._in_len = 0

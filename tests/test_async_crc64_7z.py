@@ -205,13 +205,17 @@ def test_qztest_driver_modes():
     import subprocess
     import sys
     env = dict(os.environ, QZTPU_FORCE_SW="1")
-    for mode in ("4", "5", "9", "10", "12", "17", "18", "19", "20", "21"):
+    # all 22 reference modes (test/main.c:4115-4185); 1 and 3 print the
+    # reference's removed-mode message and exit 0
+    for mode in [str(m) for m in range(1, 23)]:
         r = subprocess.run(
             [sys.executable, "tools/qztest.py", "-m", mode, "-t", "2",
              "-l", "3", "-b", "16384", "-v"],
             capture_output=True, text=True, timeout=300, env=env,
             cwd=os.path.join(os.path.dirname(__file__), ".."))
         assert r.returncode == 0, f"mode {mode}: {r.stdout} {r.stderr}"
+        if mode in ("1", "3"):
+            assert "has been removed" in r.stderr
 
 
 def test_async_chain_compress_and_hash():

@@ -6,16 +6,32 @@ Parity reference: ``test/main.c`` (4522 LoC, 22 modes, dispatch at
 printing the same greppable per-thread throughput line shape
 (``srv=..., msec=..., bytes=..., N Gbps``, test/main.c:1448-1485).
 
-Implemented modes (numbering matches the reference):
-  1  compress-only loop                  (qzCompressOnly)
-  2  decompress-only loop                (qzDecompressOnly)
-  4  compress+decompress+verify          (qzCompressAndDecompress)
-  5  format-mix per -F comp:fmt/decomp:fmt
-  9  streaming compress/decompress round trip
-  17 SW↔accelerated equivalence suite    (qzFuncTests)
-  18 thread-safety with randomized sleeps
-  19 init/close cycling                  (PCIe count analog)
-  21 fork + resource check
+All 22 reference modes are implemented with the reference's numbering and
+semantics (modes 1 and 3 print the reference's own "has been removed"
+message and exit 0):
+
+   1  removed (reference prints "Test mode 1 has been removed")
+   2  qzMemFuncTest        — qzMalloc/qzFree/classification loop
+   3  removed
+   4  qzCompressAndDecompress (-D comp|decomp|both, -v verify; perf loop)
+   5  format-mix per-format compress/decompress (parseFormatOption analog)
+   6  qzSetupParamFuncTest — invalid session params are rejected
+   7  qzDecompressSwQz     — SW-compressed buffers decode via the session
+   8  qzCompressDecompressSwQZMixed — accel<->SW cross decode both ways
+   9  qzCompressStreamAndDecompress — streaming round trip
+  10  qzCompressStreamOnCommonMem  — streaming from COMMON (unpinned) bufs
+  11  qzCompressStreamOutput       — stream output decodes one-shot
+  12  qzDecompressStreamInput      — one-shot output decodes via stream
+  13  qzCompressStreamInvalidChunkSize — out-of-range strm_buff_sz rejected
+  14  qzCompressStreamInvalidQzStreamParam — ended/invalid stream ops fail
+  15  qzDecompressStreamNegParam   — invalid decompress-stream inputs fail
+  16  qzEndStreamNegParam          — qzEndStream on bad streams
+  17  qzFuncTests          — SW<->accelerated equivalence suite
+  18  thread-safety (mode 4 with randomized sleeps)
+  19  qzInitPcieCountCheck — init/close cycling
+  20  qzCompressStreamWithPendingOut — bounded-output drain carry
+  21  forkResourceCheck    — fork + child session round trip
+  22  qzDecompressStreamWithBufferError — bounded decompress drain
 
 Usage: python tools/qztest.py -m 4 -t 4 -l 100 -b 65536 [-A deflate]
        [-i inputfile] [-v] [-D comp|decomp|both] [-F gzipext]
@@ -35,7 +51,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 from qatzip_tpu import QzSession, params as P  # noqa: E402
-from qatzip_tpu.constants import DataFormat, QZ_OK, QzError  # noqa: E402
+from qatzip_tpu.constants import (  # noqa: E402
+    DataFormat, QZ_OK, QZ_PARAMS, QzError,
+)
 
 
 FMT = {
@@ -83,9 +101,35 @@ class Stats:
         with self.lock:
             self.gbps.append(g)
 
-    def fail(self):
+    def fail(self, tid=None, msg=""):
         with self.lock:
             self.failures += 1
+        if msg:
+            print(f"thread {tid}: {msg}", file=sys.stderr)
+
+
+def run_mode_2(args, tid, stats):
+    """qzMemFuncTest analog (test/main.c mode 2): alloc/free/classify."""
+    from qatzip_tpu.memory import BufferPool
+    from qatzip_tpu.constants import MemType
+    pool = BufferPool()
+    for i in range(max(args.loops, 4)):
+        a = pool.qz_malloc(4096)
+        b = pool.qz_malloc(4096, MemType.COMMON_MEM)
+        if pool.qz_mem_find_addr(a) != MemType.PINNED_MEM:
+            stats.fail(tid, "pinned classification")
+            return
+        if pool.qz_mem_find_addr(b) != MemType.COMMON_MEM:
+            stats.fail(tid, "common classification")
+            return
+        a[:] = 0xAA
+        pool.qz_free(a)
+        pool.qz_free(b)
+    if pool.reuse_count == 0:
+        stats.fail(tid, "no pool reuse")
+        return
+    print(f"[INFO] tid={tid} mem functest ok "
+          f"(alloc={pool.alloc_count} reuse={pool.reuse_count})")
 
 
 def run_mode_4(args, tid: int, stats: Stats, direction="both"):
@@ -103,8 +147,7 @@ def run_mode_4(args, tid: int, stats: Stats, direction="both"):
             out = sess.decompress(comp)
             nbytes += len(data)
             if args.verify and out != data:
-                stats.fail()
-                print(f"thread {tid}: VERIFY FAILED", file=sys.stderr)
+                stats.fail(tid, "VERIFY FAILED")
                 return
     msec = (time.perf_counter() - t0) * 1000
     gbps = nbytes * 8 / (msec / 1000) / 1e9 if msec else 0.0
@@ -112,14 +155,6 @@ def run_mode_4(args, tid: int, stats: Stats, direction="both"):
     print(f"[INFO] srv={direction}, tid={tid}, verify={args.verify}, "
           f"count={args.loops}, msec={msec:.0f}, bytes={nbytes}, "
           f"{gbps:.3f} Gbps")
-
-
-def run_mode_1(args, tid, stats):
-    run_mode_4(args, tid, stats, direction="comp")
-
-
-def run_mode_2(args, tid, stats):
-    run_mode_4(args, tid, stats, direction="decomp")
 
 
 def run_mode_5(args, tid, stats):
@@ -134,10 +169,91 @@ def run_mode_5(args, tid, stats):
         s2 = make_session(a2)
         out = s2.decompress(comp)
         if out != data:
-            stats.fail()
-            print(f"thread {tid}: fmt {fmt} mismatch", file=sys.stderr)
+            stats.fail(tid, f"fmt {fmt} mismatch")
             return
     print(f"[INFO] tid={tid} format-mix ok")
+
+
+def run_mode_6(args, tid, stats):
+    """qzSetupParamFuncTest analog: out-of-range session params must be
+    rejected with QZ_PARAMS (reference qzCheckParams*,
+    src/qatzip_utils.c:385-520)."""
+    bad_cases = []
+    p = P.get_defaults("deflate")
+    p.common.hw_buff_sz = 3000            # not a power of two
+    bad_cases.append(p)
+    p = P.get_defaults("deflate")
+    p.common.hw_buff_sz = 1 << 20         # > 512K
+    bad_cases.append(p)
+    p = P.get_defaults("deflate")
+    p.common.comp_lvl = 0                 # below minimum
+    bad_cases.append(p)
+    p = P.get_defaults("deflate")
+    p.common.comp_lvl = 99                # above maximum
+    bad_cases.append(p)
+    p = P.get_defaults("deflate")
+    p.common.strm_buff_sz = 100           # < 1K
+    bad_cases.append(p)
+    for i, bad in enumerate(bad_cases):
+        sess = QzSession()
+        rc = sess.setup_deflate(bad)
+        if rc == QZ_OK:
+            stats.fail(tid, f"bad param case {i} accepted")
+            return
+    good = QzSession()
+    if good.setup_deflate(P.get_defaults("deflate")) != QZ_OK:
+        stats.fail(tid, "good params rejected")
+        return
+    print(f"[INFO] tid={tid} param functest ok")
+
+
+def run_mode_7(args, tid, stats):
+    """qzDecompressSwQz analog: buffers produced by software zlib/gzip
+    decode through the (accelerated) session."""
+    import gzip as _gz
+    import zlib
+    data = gen_random_data(args.block_sz, seed=tid)
+    sess = make_session(args)
+    a2 = argparse.Namespace(**vars(args))
+    a2.fmt = "zlib"
+    if make_session(a2).decompress(zlib.compress(data, 1)) != data:
+        stats.fail(tid, "sw zlib decode")
+        return
+    a3 = argparse.Namespace(**vars(args))
+    a3.fmt = "gzip"
+    if make_session(a3).decompress(_gz.compress(data, 1)) != data:
+        stats.fail(tid, "sw gzip decode")
+        return
+    # multi-member concatenation
+    two = _gz.compress(data[: len(data) // 2], 1) + \
+        _gz.compress(data[len(data) // 2:], 1)
+    if make_session(a3).decompress(two) != data:
+        stats.fail(tid, "sw gzip multi-member decode")
+        return
+    del sess
+    print(f"[INFO] tid={tid} sw->qz decode ok")
+
+
+def run_mode_8(args, tid, stats):
+    """qzCompressDecompressSwQZMixed analog: accelerated output decodes
+    via the SW codec and vice versa, repeatedly interleaved."""
+    from qatzip_tpu.sw import codec as swc
+    data = gen_random_data(args.block_sz, seed=tid)
+    a2 = argparse.Namespace(**vars(args))
+    a2.fmt = a2.fmt or "gzipext"
+    fmt = FMT[a2.fmt]
+    sess = make_session(a2)
+    for _ in range(max(args.loops // 2, 2)):
+        accel = sess.compress(data)
+        out, _cons, _crc = swc.sw_decompress_multi(accel, fmt, None)
+        if out != data:
+            stats.fail(tid, "accel->sw mismatch")
+            return
+        sw_blob, _ = swc.sw_compress(data, fmt, 1, args.chunk)
+        if sess.decompress(sw_blob) != data:
+            stats.fail(tid, "sw->accel mismatch")
+            return
+    print(f"[INFO] tid={tid} mixed sw/qz ok")
 
 
 def run_mode_9(args, tid, stats):
@@ -160,15 +276,154 @@ def run_mode_9(args, tid, stats):
         dec += strm2.decompress(comp[off:off + 4096], last=last)
     strm2.end()
     if bytes(dec) != data:
-        stats.fail()
-        print(f"thread {tid}: stream mismatch "
-              f"{len(dec)} vs {len(data)}", file=sys.stderr)
+        stats.fail(tid, f"stream mismatch {len(dec)} vs {len(data)}")
         return
     print(f"[INFO] tid={tid} streaming ok")
 
 
+def run_mode_10(args, tid, stats):
+    """qzCompressStreamOnCommonMem analog: stream fed from COMMON
+    (unpinned, non-bytes) buffers — memoryviews and bytearrays."""
+    from qatzip_tpu.stream import QzStream
+    data = gen_random_data(args.block_sz * 2, seed=tid)
+    sess = make_session(args)
+    strm = QzStream(sess, strm_buff_sz=8192)
+    out = bytearray()
+    src = bytearray(data)               # COMMON mutable buffer
+    step = 3000
+    for off in range(0, len(src), step):
+        last = off + step >= len(src)
+        out += strm.compress(memoryview(src)[off:off + step], last=last)
+    strm.end()
+    if make_session(args).decompress(bytes(out)) != data:
+        stats.fail(tid, "common-mem stream mismatch")
+        return
+    print(f"[INFO] tid={tid} common-mem streaming ok")
+
+
+def run_mode_11(args, tid, stats):
+    """qzCompressStreamOutput analog: stream-produced output must decode
+    through the one-shot API."""
+    from qatzip_tpu.stream import QzStream
+    data = gen_random_data(args.block_sz * 2, seed=tid)
+    sess = make_session(args)
+    strm = QzStream(sess, strm_buff_sz=4096)
+    out = bytearray()
+    pos = 0
+    step = 577  # deliberately unaligned
+    while pos < len(data):
+        last = pos + step >= len(data)
+        out += strm.compress(data[pos:pos + step], last=last)
+        pos += step
+    strm.end()
+    if make_session(args).decompress(bytes(out)) != data:
+        stats.fail(tid, "stream-output one-shot decode mismatch")
+        return
+    print(f"[INFO] tid={tid} stream-output ok")
+
+
+def run_mode_12(args, tid, stats):
+    """qzDecompressStreamInput analog: one-shot compressed output decodes
+    through the stream API with chunked pushes."""
+    from qatzip_tpu.stream import QzStream
+    data = gen_random_data(args.block_sz * 2, seed=tid)
+    comp = make_session(args).compress(data)
+    strm = QzStream(make_session(args))
+    dec = bytearray()
+    step = 1111
+    for off in range(0, len(comp), step):
+        last = off + step >= len(comp)
+        dec += strm.decompress(comp[off:off + step], last=last)
+    strm.end()
+    if bytes(dec) != data:
+        stats.fail(tid, "decompress-stream input mismatch")
+        return
+    print(f"[INFO] tid={tid} decompress-stream input ok")
+
+
+def run_mode_13(args, tid, stats):
+    """qzCompressStreamInvalidChunkSize analog: out-of-range strm_buff_sz
+    must be rejected with QZ_PARAMS."""
+    from qatzip_tpu.stream import QzStream
+    sess = make_session(args)
+    for bad in (0, 100, 4 * 1024 * 1024):
+        try:
+            QzStream(sess, strm_buff_sz=bad)
+            stats.fail(tid, f"strm_buff_sz {bad} accepted")
+            return
+        except QzError as e:
+            if e.rc != QZ_PARAMS:
+                stats.fail(tid, f"wrong rc {e.rc}")
+                return
+    print(f"[INFO] tid={tid} invalid-chunk-size ok")
+
+
+def run_mode_14(args, tid, stats):
+    """qzCompressStreamInvalidQzStreamParam analog: ended streams and
+    garbage operations error cleanly."""
+    from qatzip_tpu.stream import (QzStream, qz_compress_stream,
+                                   qz_decompress_stream)
+    sess = make_session(args)
+    strm = QzStream(sess)
+    strm.end()
+    rc, _out = qz_compress_stream(sess, strm, b"late data", 1)
+    if rc == QZ_OK:
+        stats.fail(tid, "compress on ended stream accepted")
+        return
+    rc, _out = qz_decompress_stream(sess, strm, b"late data", 1)
+    if rc == QZ_OK:
+        stats.fail(tid, "decompress on ended stream accepted")
+        return
+    print(f"[INFO] tid={tid} invalid-stream-params ok")
+
+
+def run_mode_15(args, tid, stats):
+    """qzDecompressStreamNegParam analog: garbage and truncated inputs
+    through the decompress stream raise QZ errors, never crash."""
+    from qatzip_tpu.stream import QzStream
+    sess = make_session(args)
+    strm = QzStream(sess)
+    try:
+        strm.decompress(b"\x00" * 64, last=True)
+        stats.fail(tid, "garbage accepted")
+        return
+    except QzError:
+        pass
+    comp = make_session(args).compress(gen_random_data(8192, seed=tid))
+    strm2 = QzStream(make_session(args))
+    try:
+        strm2.decompress(comp[: len(comp) // 3], last=True)
+        stats.fail(tid, "truncated accepted")
+        return
+    except QzError:
+        pass
+    strm2.end()
+    print(f"[INFO] tid={tid} decompress-neg-param ok")
+
+
+def run_mode_16(args, tid, stats):
+    """qzEndStreamNegParam analog: end() is idempotent and post-end ops
+    fail; qz_end_stream tolerates odd inputs."""
+    from qatzip_tpu.stream import QzStream, qz_end_stream
+    sess = make_session(args)
+    strm = QzStream(sess)
+    if qz_end_stream(sess, strm) != QZ_OK:
+        stats.fail(tid, "end failed")
+        return
+    if qz_end_stream(sess, strm) != QZ_OK:   # double end is OK (idempotent)
+        stats.fail(tid, "double end failed")
+        return
+    try:
+        strm.compress(b"x", last=True)
+        stats.fail(tid, "compress after end accepted")
+        return
+    except QzError:
+        pass
+    print(f"[INFO] tid={tid} end-stream-neg ok")
+
+
 def run_mode_17(args, tid, stats):
-    """SW↔accelerated equivalence (qzFuncTests analog, test/main.c:3453)."""
+    """SW<->accelerated equivalence (qzFuncTests analog, test/main.c:3453)."""
     import zlib
     data = gen_random_data(args.block_sz, seed=tid)
     sess = make_session(args)
@@ -183,7 +438,7 @@ def run_mode_17(args, tid, stats):
             break
         pos += used
     if b"".join(pieces) != data:
-        stats.fail()
+        stats.fail(tid, "stock zlib decode mismatch")
         return
     # 2. SW-compressed buffer decodes through the session
     swgz = zlib.compress(data, 1)
@@ -191,11 +446,9 @@ def run_mode_17(args, tid, stats):
     a2.fmt = "zlib"
     s2 = make_session(a2)
     if s2.decompress(swgz) != data:
-        stats.fail()
+        stats.fail(tid, "session zlib decode mismatch")
         return
-    # 3. forced-SW compress decodes through default session
-    os.environ["QZTPU_FORCE_SW"] = "0"
-    # 4. negative: truncated buffer must raise, not crash
+    # 3. negative: truncated buffer must raise, not crash
     try:
         sess.decompress(comp[: len(comp) // 3])
     except QzError:
@@ -212,7 +465,7 @@ def run_mode_18(args, tid, stats):
         comp = sess.compress(data)
         time.sleep(rng.random() * 0.01)
         if sess.decompress(comp) != data:
-            stats.fail()
+            stats.fail(tid, "thread-safety mismatch")
             return
     print(f"[INFO] tid={tid} thread-safety ok")
 
@@ -225,6 +478,36 @@ def run_mode_19(args, tid, stats):
         rt.close()
     rt.init(1)
     print(f"[INFO] tid={tid} init/close ok")
+
+
+def run_mode_20(args, tid, stats):
+    """qzCompressStreamWithPendingOut analog: a bounded output budget
+    forces pending_out carry; draining must reassemble the stream."""
+    from qatzip_tpu.stream import QzStream
+    data = gen_random_data(args.block_sz * 2, seed=tid)
+    sess = make_session(args)
+    strm = QzStream(sess, strm_buff_sz=4096)
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        piece = data[pos:pos + 6000]
+        pos += len(piece)
+        out += strm.compress(piece, last=(pos >= len(data)), max_out=256)
+    saw_pending = bool(strm.pending_out)
+    while strm.pending_out:
+        blob = strm.compress(b"", max_out=256)
+        if len(blob) > 256:
+            stats.fail(tid, "max_out exceeded")
+            return
+        out += blob
+    strm.end()
+    if not saw_pending:
+        stats.fail(tid, "pending_out never engaged")
+        return
+    if make_session(args).decompress(bytes(out)) != data:
+        stats.fail(tid, "pending-out roundtrip mismatch")
+        return
+    print(f"[INFO] tid={tid} pending-out ok")
 
 
 def run_mode_21(args, tid, stats):
@@ -242,83 +525,52 @@ def run_mode_21(args, tid, stats):
             os._exit(2)
     _, status = os.waitpid(pid, 0)
     if os.waitstatus_to_exitcode(status) != 0:
-        stats.fail()
+        stats.fail(tid, "fork child failed")
         return
     print(f"[INFO] tid={tid} fork ok")
 
 
-def run_mode_10(args, tid, stats):
-    """Invalid-stream-param suite (modes 10/13 analogs): ended streams,
-    unset sessions, garbage input — all must error cleanly."""
-    from qatzip_tpu.stream import (QzStream, qz_compress_stream,
-                                   qz_decompress_stream)
-    sess = make_session(args)
-    strm = QzStream(sess)
-    strm.end()
-    rc, out = qz_compress_stream(sess, strm, b"late data", 1)
-    if rc == QZ_OK:
-        stats.fail()
-        return
-    rc, out = qz_decompress_stream(sess, strm, b"late data", 1)
-    if rc == QZ_OK:
-        stats.fail()
-        return
-    strm2 = QzStream(sess)
-    try:
-        strm2.decompress(b"\x00" * 64, last=True)
-        stats.fail()
-        return
-    except QzError:
-        pass
-    print(f"[INFO] tid={tid} invalid-stream-params ok")
-
-
-def run_mode_12(args, tid, stats):
-    """Streaming with many tiny pushes and odd flush points (pending-out
-    carry behavior, modes 12/15/16 analog)."""
-    data = gen_random_data(args.block_sz * 2, seed=tid)
-    sess = make_session(args)
-    from qatzip_tpu.stream import QzStream
-    strm = QzStream(sess, strm_buff_sz=4096)
-    out = bytearray()
-    pos = 0
-    step = 577  # deliberately unaligned
-    while pos < len(data):
-        last = pos + step >= len(data)
-        out += strm.compress(data[pos:pos + step], last=last)
-        pos += step
-    strm.end()
-    d = make_session(args)
-    if d.decompress(bytes(out)) != data:
-        stats.fail()
-        return
-    print(f"[INFO] tid={tid} pending-out carry ok")
-
-
-def run_mode_20(args, tid, stats):
-    """Buffer-error behavior: undersized destination returns QZ_BUF_ERROR
-    without consuming input (mode 20/22 analog)."""
+def run_mode_22(args, tid, stats):
+    """qzDecompressStreamWithBufferError analog: undersized destination
+    budgets on both APIs — qz_decompress reports QZ_BUF_ERROR, the stream
+    API carries pending_out."""
     from qatzip_tpu.session import qz_compress, qz_decompress
+    from qatzip_tpu.stream import QzStream
     from qatzip_tpu.constants import QZ_BUF_ERROR
     data = gen_random_data(args.block_sz, seed=tid)
     sess = make_session(args)
-    rc, consumed, produced = qz_compress(sess, data, bytearray(4))
-    if rc != QZ_BUF_ERROR or consumed or produced:
-        stats.fail()
+    rc, _c, _p = qz_compress(sess, data, bytearray(4))
+    if rc != QZ_BUF_ERROR:
+        stats.fail(tid, "compress buf-error missing")
         return
     comp = sess.compress(data)
-    rc, consumed, produced = qz_decompress(make_session(args), comp,
-                                           bytearray(4))
+    rc, _c, _p = qz_decompress(make_session(args), comp, bytearray(4))
     if rc != QZ_BUF_ERROR:
-        stats.fail()
+        stats.fail(tid, "decompress buf-error missing")
+        return
+    strm = QzStream(make_session(args))
+    got = bytearray(strm.decompress(comp, last=True, max_out=512))
+    while strm.pending_out:
+        piece = strm.decompress(b"", max_out=512)
+        if len(piece) > 512:
+            stats.fail(tid, "max_out exceeded")
+            return
+        got += piece
+    strm.end()
+    if bytes(got) != data:
+        stats.fail(tid, "bounded decompress mismatch")
         return
     print(f"[INFO] tid={tid} buffer-error ok")
 
 
-MODES = {1: run_mode_1, 2: run_mode_2, 4: run_mode_4, 5: run_mode_5,
-         9: run_mode_9, 10: run_mode_10, 12: run_mode_12,
+MODES = {2: run_mode_2, 4: run_mode_4, 5: run_mode_5, 6: run_mode_6,
+         7: run_mode_7, 8: run_mode_8, 9: run_mode_9, 10: run_mode_10,
+         11: run_mode_11, 12: run_mode_12, 13: run_mode_13,
+         14: run_mode_14, 15: run_mode_15, 16: run_mode_16,
          17: run_mode_17, 18: run_mode_18, 19: run_mode_19,
-         20: run_mode_20, 21: run_mode_21}
+         20: run_mode_20, 21: run_mode_21, 22: run_mode_22}
+
+REMOVED_MODES = (1, 3)   # the reference's own skip semantics
 
 
 def main(argv=None) -> int:
@@ -337,13 +589,17 @@ def main(argv=None) -> int:
                    choices=["comp", "decomp", "both"])
     args = p.parse_args(argv)
 
+    if args.mode in REMOVED_MODES:
+        # reference: QZ_ERROR("Test mode N has been removed\n"); return 0
+        print(f"Test mode {args.mode} has been removed", file=sys.stderr)
+        return 0
     fn = MODES.get(args.mode)
     if fn is None:
         print(f"unsupported mode {args.mode}; have {sorted(MODES)}",
               file=sys.stderr)
         return 2
     stats = Stats()
-    if args.mode == 4:
+    if args.mode in (4, 18) and args.mode == 4:
         runner = lambda tid: run_mode_4(args, tid, stats, args.direction)  # noqa: E731
     else:
         runner = lambda tid: fn(args, tid, stats)  # noqa: E731
