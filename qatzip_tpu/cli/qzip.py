@@ -174,6 +174,10 @@ def process_file(args, in_name: str) -> int:
             else _setup_session(args))
 
     st = os.stat(in_name)
+    # block devices (reference sizes them with ioctl(BLKGETSIZE),
+    # utils/qzip.c:279-286) stream through the same read loop; the device
+    # node itself is never unlinked after compression
+    is_blockdev = statmod.S_ISBLK(st.st_mode)
     total_in = total_out = 0
     t0 = time.perf_counter()
     try:
@@ -211,7 +215,7 @@ def process_file(args, in_name: str) -> int:
                    total_in, total_out, secs)
     os.chmod(out_name, statmod.S_IMODE(st.st_mode))
     os.utime(out_name, (st.st_atime, st.st_mtime))
-    if not args.keep:
+    if not args.keep and not is_blockdev:
         os.unlink(in_name)
     return 0
 

@@ -87,3 +87,30 @@ def test_lz4_streaming_session():
         dec += dstrm.decompress(comp[off:off + 4096],
                                 last=off + 4096 >= len(comp))
     assert bytes(dec) == data
+
+
+def test_qzip_block_device_input(tmp_path):
+    """Block-device inputs stream through qzip like the reference's
+    BLKGETSIZE path (utils/qzip.c:279-286); the device node is kept."""
+    import shutil
+    import subprocess
+    import pytest
+    if os.geteuid() != 0 or not shutil.which("losetup"):
+        pytest.skip("needs root + losetup")
+    img = tmp_path / "blk.img"
+    img.write_bytes(os.urandom(256 * 1024))
+    r = subprocess.run(["losetup", "-f"], capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip("no free loop device")
+    dev = r.stdout.strip()
+    if subprocess.run(["losetup", dev, str(img)]).returncode != 0:
+        pytest.skip("cannot attach loop device")
+    try:
+        from qatzip_tpu.cli import qzip as cli
+        out = tmp_path / "blk.gz"
+        assert cli.main(["-o", str(out), dev]) == 0
+        import gzip as _gz
+        assert _gz.decompress(out.read_bytes()) == img.read_bytes()
+        assert os.path.exists(dev)      # node not unlinked despite no -k
+    finally:
+        subprocess.run(["losetup", "-d", dev])
