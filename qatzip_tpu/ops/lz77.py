@@ -78,11 +78,65 @@ def _shl(x: jnp.ndarray, k: int, fill):
         [x[:, k:], jnp.full((b, k), fill, x.dtype)], axis=1)
 
 
+PARSE_UNROLL = 32
+
+
+def _parse_scan(is_match, ml, seg: int, nseg: int, b: int):
+    """Greedy-parse coverage scan — pure column ops, zero gathers.
+
+    Replaces the round-1 token walk (one take_along_axis per emitted
+    token, the top device cost per VERDICT r1). The greedy parse is a
+    1-state recurrence per lane — ``reach`` = end of the active match —
+    advanced one column at a time in lockstep over (b*nseg) independent
+    segment lanes. Each column touch is a static slice, so the whole scan
+    is seg/UNROLL fused loop iterations of (rows,) vector ops.
+
+    Returns dense (b, n) planes: ``taken`` (match emitted at p) and
+    ``lit`` (p emits its own literal).  Positions inside a taken match are
+    neither.  Also the coverage source for the on-device bit-packer.
+    """
+    rows = b * nseg
+    im = is_match.reshape(rows, seg)
+    mls = ml.reshape(rows, seg)
+    U = PARSE_UNROLL
+    assert seg % U == 0
+
+    def body(i, state):
+        reach, taken, lit = state
+        base = i * U
+        im_blk = jax.lax.dynamic_slice(im, (0, base), (rows, U))
+        ml_blk = jax.lax.dynamic_slice(mls, (0, base), (rows, U))
+        t_cols, l_cols = [], []
+        for u in range(U):
+            p = base + u
+            free = p >= reach
+            tk = free & im_blk[:, u]
+            lt = free & ~im_blk[:, u]
+            reach = jnp.where(tk, p + ml_blk[:, u], reach)
+            t_cols.append(tk)
+            l_cols.append(lt)
+        taken = jax.lax.dynamic_update_slice(
+            taken, jnp.stack(t_cols, axis=1), (0, base))
+        lit = jax.lax.dynamic_update_slice(
+            lit, jnp.stack(l_cols, axis=1), (0, base))
+        return reach, taken, lit
+
+    reach0 = jnp.zeros((rows,), jnp.int32)
+    taken0 = jnp.zeros((rows, seg), bool)
+    lit0 = jnp.zeros((rows, seg), bool)
+    _, taken, lit = jax.lax.fori_loop(0, seg // U, body,
+                                      (reach0, taken0, lit0))
+    n = seg * nseg
+    return taken.reshape(b, n), lit.reshape(b, n)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "min_match", "max_match",
-                                             "window", "parse_seg"))
+                                             "window", "parse_seg",
+                                             "ctx_words", "probes"))
 def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                   min_match: int = 4, max_match: int = 258,
                   window: int = 32768, parse_seg: int = 8192,
+                  ctx_words: int = CTX_WORDS, probes: int = 6,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tokenize a batch of chunks.
 
@@ -112,14 +166,15 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
       window: max backward distance (32768 deflate).
 
     Returns:
-      tokens: (B, n) uint32 packed tokens; each parse segment's tokens are
-              compacted at its own offset (s*parse_seg for segment s).
-      ntok:   (B, n // parse_seg) int32 token count per parse segment.
+      tokens: (B, n) uint32 packed tokens, compacted to each row's prefix
+              in position order.
+      ntok:   (B,) int32 token count per row.
     """
     assert n <= 65536, "position field is 16 bits"
+    ctx_bytes = ctx_words * 4
     b = data.shape[0]
     lengths = lengths.astype(jnp.int32)
-    pad = jnp.zeros((b, CTX_BYTES + 8), jnp.uint8)
+    pad = jnp.zeros((b, ctx_bytes + 8), jnp.uint8)
     dp = jnp.concatenate([data, pad], axis=1).astype(jnp.uint32)
 
     def word4(off):
@@ -128,7 +183,7 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                 | (dp[:, off + 2:off + 2 + n] << 16)
                 | (dp[:, off + 3:off + 3 + n] << 24))
 
-    ctx = [word4(4 * k) for k in range(CTX_WORDS)]
+    ctx = [word4(4 * k) for k in range(ctx_words)]
     w4 = ctx[0]
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
@@ -156,7 +211,7 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
             [jnp.zeros((b, delta), jnp.int32), pos_s[:, :-delta]], axis=1)
         ml = jnp.zeros((b, n), jnp.int32)
         alive = same
-        for k in range(CTX_WORDS):
+        for k in range(ctx_words):
             prev = jnp.concatenate([zpad, ctx_s[k][:, :-delta]], axis=1)
             x = ctx_s[k] ^ prev
             full = (x == 0) & alive
@@ -171,11 +226,11 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
         ok = same & (dist >= 1) & (dist <= window) & (ml >= min_match)
         return jnp.where(ok, ml, 0), jnp.where(ok, dist, 1)
 
-    # probe the 6 most recent same-hash predecessors (a deeper chain than
-    # zlib L1's max_chain≈4 — each probe is just shifts in the sorted
-    # domain); keep the longest match, nearest on ties
+    # probe the `probes` most recent same-hash predecessors (a deeper
+    # chain than zlib L1's max_chain≈4 — each probe is just shifts in the
+    # sorted domain); keep the longest match, nearest on ties
     ml_s, dist_s = cand_at(1)
-    for delta in (2, 3, 4, 5, 6):
+    for delta in range(2, probes + 1):
         mld, distd = cand_at(delta)
         better = mld > ml_s
         ml_s = jnp.where(better, mld, ml_s)
@@ -192,7 +247,7 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     dist = (packed_p & 0x7FFF).astype(jnp.int32) + 1
 
     # --- saturation-doubling extension (pure shifts) ----------------------
-    cap = CTX_BYTES
+    cap = ctx_bytes
     while cap < max_match and cap < n:
         nml = _shl(ml, cap, 0)
         ndist = _shl(dist, cap, 0)
@@ -212,13 +267,10 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     ml = jnp.where(is_match, ml, 0)
 
     # --- segment the PARSE (not the match search) -------------------------
-    # The walk's cost is (iterations × per-small-gather overhead); breaking
-    # each row into parse segments multiplies the rows the walk advances in
-    # parallel and divides its iteration count. Matches are trimmed at
-    # segment boundaries (distances still reach across segments, so decode
-    # semantics are untouched); ratio cost is ~avg_match/segment.
-    # NOTE: must precede the literal-run computation — trimmed matches
-    # become literals and need run coverage.
+    # Matches are trimmed at parse-segment boundaries so segments parse
+    # independently (distances still reach across segments, so decode
+    # semantics are untouched); ratio cost is ~avg_match/segment (<0.1% at
+    # seg=8192, measured via tools/ratiocheck.py).
     seg = min(parse_seg, n)
     nseg = n // seg
     seg_rem = seg - (iota % seg)
@@ -226,11 +278,15 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     is_match = is_match & (ml >= min_match)
     ml = jnp.where(is_match, ml, 0)
 
-    # --- token plane -------------------------------------------------------
-    # literal RUN length starting at each position (saturation doubling,
-    # pure shifts) — runs collapse to one token each, cutting walk
-    # iterations, d2h volume and host-pack token traffic roughly in half
-    lr = jnp.where(is_match, 0, 1).astype(jnp.int32)
+    taken, lit = _parse_scan(is_match, ml, seg, nseg, b)
+    valid = iota < lengths[:, None]
+    lit = lit & valid
+
+    # --- literal runs over the POST-parse literal mask --------------------
+    # lr[p] = forward run length starting at p; bc[p] = backward rank of p
+    # in its run — both by saturation doubling (pure rolls), exact up to n.
+    rounds = int(n - 1).bit_length()
+    lr = lit.astype(jnp.int32)
 
     def lr_round(k, lr):
         span = jnp.int32(1) << k
@@ -238,58 +294,35 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
         nlr = jnp.where(iota + span < n, rolled, 0)
         return jnp.where(lr == span, lr + nlr, lr)
 
-    lr = jax.lax.fori_loop(0, LITRUN_MAX.bit_length(), lr_round, lr)
-    lr = jnp.minimum(lr, LITRUN_MAX)
-    lr = jnp.minimum(lr, jnp.maximum(lengths[:, None] - iota, 0))
-    lr = jnp.minimum(lr, seg_rem)
+    lr = jax.lax.fori_loop(0, rounds, lr_round, lr)
 
-    run_tok = TOK_LITRUN_BIT | lr.astype(jnp.uint32)
+    bc = lit.astype(jnp.int32)
+
+    def bc_round(k, bc):
+        span = jnp.int32(1) << k
+        rolled = jnp.roll(bc, span, axis=1)
+        prv = jnp.where(iota - span >= 0, rolled, 0)
+        return jnp.where(bc == span, bc + prv, bc)
+
+    bc = jax.lax.fori_loop(0, rounds, bc_round, bc)
+
+    # run tokens at run starts and every LITRUN_MAX literals thereafter
+    runstart = lit & (((bc - 1) % LITRUN_MAX) == 0)
+    run_tok = TOK_LITRUN_BIT | jnp.minimum(lr, LITRUN_MAX).astype(jnp.uint32)
     match_tok = (TOK_MATCH_BIT
                  | (ml.astype(jnp.uint32) << 16)
                  | (dist - 1).astype(jnp.uint32))
-    tok = jnp.where(is_match, match_tok, run_tok).reshape(b * nseg, seg)
+    emit = taken | runstart
+    tok = jnp.where(taken, match_tok,
+                    jnp.where(runstart, run_tok, jnp.uint32(0)))
 
-    seg_off = jnp.arange(nseg, dtype=jnp.int32) * seg
-    seg_lengths = jnp.clip(lengths[:, None] - seg_off[None, :], 0,
-                           seg).reshape(b * nseg)
-
-    # --- greedy parse walk: UNROLL tokens per iteration -------------------
-    # the step is decoded from the token itself (one gather per token)
-    UNROLL = 8
-    rows = b * nseg
-
-    def tok_step(cur):
-        isl = (cur >> 30) == 1
-        ism = (cur >> 31) == 1
-        return jnp.where(ism, (cur >> 16) & 0x7FFF,
-                         jnp.where(isl, jnp.maximum(cur & 0x3FFF, 1),
-                                   1)).astype(jnp.int32)
-
-    def cond(state):
-        pos, t, _out, _ntok = state
-        return jnp.any(pos < seg_lengths) & (t < seg)
-
-    def body(state):
-        pos, t, out, ntok = state
-        cols = []
-        for _ in range(UNROLL):
-            active = pos < seg_lengths
-            pc = jnp.clip(pos, 0, seg - 1)[:, None]
-            cur = jnp.take_along_axis(tok, pc, axis=1)      # (rows,1)
-            st = tok_step(cur[:, 0])
-            cols.append(jnp.where(active[:, None], cur, jnp.uint32(0)))
-            ntok = ntok + active.astype(jnp.int32)
-            pos = jnp.where(active, pos + st, pos)
-        out = jax.lax.dynamic_update_slice(
-            out, jnp.concatenate(cols, axis=1), (0, t))
-        return pos, t + UNROLL, out, ntok
-
-    pos0 = jnp.zeros((rows,), jnp.int32)
-    out0 = jnp.zeros((rows, seg), jnp.uint32)
-    ntok0 = jnp.zeros((rows,), jnp.int32)
-    _, _, tokens, ntok = jax.lax.while_loop(
-        cond, body, (pos0, jnp.int32(0), out0, ntok0))
-    return tokens.reshape(b, n), ntok.reshape(b, nseg)
+    # --- compaction: one 2-operand sort moves emitted tokens to the row
+    # prefix in position order (replaces the old per-token gather walk —
+    # sorts are fast on TPU, per-element gathers serialize)
+    key = iota.astype(jnp.uint32) | ((~emit).astype(jnp.uint32) << 17)
+    _, tokens = jax.lax.sort((key, tok), dimension=1, num_keys=1)
+    ntok = jnp.sum(emit, axis=1).astype(jnp.int32)
+    return tokens, ntok
 
 
 # ---------------------------------------------------------------------------
@@ -298,8 +331,9 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
 
 def merge_segment_tokens(tokens_row: np.ndarray, ntok_row,
                          parse_seg: int = 8192) -> np.ndarray:
-    """Concatenate one row's per-segment compacted token slices into a
-    single token stream (host-side; each slice is a contiguous memcpy)."""
+    """One row's compact token stream (tokens are already row-compacted by
+    the device; per-segment slicing kept for backward API compatibility
+    with round-1 (B, nseg) ntok shapes)."""
     segs = np.atleast_1d(np.asarray(ntok_row)).ravel()
     tokens_row = np.asarray(tokens_row)
     if segs.size == 1:

@@ -81,7 +81,6 @@ class TpuEngine:
 
         params = self._tok_params(algorithm)
         seg = min(8192, n)
-        nseg = n // seg
         ndev = len(self.devices)
         mesh = None
         if ndev > 1:
@@ -130,17 +129,15 @@ class TpuEngine:
                 for i in range(nt):
                     if lens_np[i] == n:  # full rows only (padding-exact)
                         crcs[i] = int(dcrc_np[i])
-            ntok_np = np.asarray(ntok)               # (b, nseg)
+            ntok_np = np.asarray(ntok).ravel()       # (b,) per-row counts
             kmax = int(ntok_np.max()) if nt else 0
-            k = seg
-            if kmax < seg:
-                # bucket the per-segment slice: power-of-two, min 256
-                k = 256
-                while k < kmax:
-                    k <<= 1
-                k = min(k, seg)
-            toks3 = toks.reshape(toks.shape[0], nseg, seg)
-            yield start, nt, np.asarray(toks3[:, :, :k]), ntok_np, crcs
+            # bucket the row-prefix slice: power-of-two, min 256, so the
+            # d2h slice program stays cached across tiles
+            k = 256
+            while k < kmax:
+                k <<= 1
+            k = min(k, n)
+            yield start, nt, np.asarray(toks[:, :k]), ntok_np, crcs
 
     # -- public engine interface ----------------------------------------------
     def compress_chunks(self, chunks: Sequence[bytes], *, level: int,
@@ -191,13 +188,9 @@ class TpuEngine:
         mode = 1 if huffman_static else 0  # 0 = best(stored/static/dynamic)
 
         def pack_one(args):
-            gi, chunk, seg_toks, seg_ntok, pre_crc = args
-            # merge per-parse-segment compacted slices (contiguous copies)
-            parts = [seg_toks[s, :int(c)]
-                     for s, c in enumerate(seg_ntok) if int(c) > 0]
-            toks = (np.concatenate(parts) if parts
-                    else np.zeros(0, np.uint32))
-            ntok = len(toks)
+            gi, chunk, row_toks, row_ntok, pre_crc = args
+            ntok = int(row_ntok)
+            toks = row_toks[:ntok]
             if algorithm == "deflate":
                 payload = native.lib.deflate_pack(chunk, toks, ntok,
                                                   final=finals[gi], mode=mode)

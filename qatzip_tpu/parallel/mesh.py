@@ -49,7 +49,7 @@ def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
 
     data_s = NamedSharding(mesh, P("dp", None))
     len_s = NamedSharding(mesh, P("dp"))
-    ntok_s = NamedSharding(mesh, P("dp", None))
+    ntok_s = NamedSharding(mesh, P("dp"))   # (B,) per-row token counts
 
     def step(data, lengths):
         toks, ntok = lz77_tokenize(data, lengths, n=n, min_match=min_match,
