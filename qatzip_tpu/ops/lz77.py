@@ -54,6 +54,7 @@ HASH_MUL = np.uint32(2654435761)
 TOK_MATCH_BIT = np.uint32(0x80000000)
 TOK_LITRUN_BIT = np.uint32(0x40000000)
 LITRUN_MAX = 16383
+RUN_SPLIT = 8192   # absolute run-token split boundary (power of two)
 
 
 def _word4(data_pad: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -130,45 +131,14 @@ def _parse_scan(is_match, ml, seg: int, nseg: int, b: int):
     return taken.reshape(b, n), lit.reshape(b, n)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "min_match", "max_match",
-                                             "window", "parse_seg",
-                                             "ctx_words", "probes"))
-def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
-                  min_match: int = 4, max_match: int = 258,
-                  window: int = 32768, parse_seg: int = 8192,
-                  ctx_words: int = CTX_WORDS, probes: int = 6,
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Tokenize a batch of chunks.
+def _analyze(data, lengths, *, n, min_match, max_match, window,
+             parse_seg, ctx_words, probes):
+    """Match finding + greedy parse — the shared device analysis stages.
 
-    TPU cost model (measured on v5e): sorts and shifts are fast; arbitrary
-    per-element gathers/scatters serialize (~90ms per (128,64K) gather).
-    Every stage here is therefore sorts + shifts only:
-
-      * candidates: one stable sort of (hash<<16|pos) carrying 24 bytes of
-        per-position context; predecessors in sort order are the exact
-        most-recent previous occurrences, and match lengths up to 24 are
-        computed by comparing the CARRIED context words — zero gathers
-      * un-sort: a second sort keyed on position (a permutation)
-      * long matches: saturation doubling — a match saturated at length L
-        whose continuation position i+L holds a same-distance match chains
-        to L + ml[i+L]; i+L is a static shift, so lengths grow 24→48→…→
-        max_match with log rounds of pure shifts
-      * greedy parse + compaction: a single device walk emitting one token
-        per step (the only gathers left: one (B,)-element lookup per
-        emitted token), bounded by the token count, not the byte count
-
-    Args:
-      data: (B, n) uint8, zero-padded beyond per-row ``lengths``.
-      lengths: (B,) int32 valid byte count per row.
-      n: static chunk capacity (power of two, <= 65536).
-      min_match: minimum match length (>= 4; hash-4 candidates).
-      max_match: cap on emitted match length (258 deflate, larger for LZ4).
-      window: max backward distance (32768 deflate).
-
-    Returns:
-      tokens: (B, n) uint32 packed tokens, compacted to each row's prefix
-              in position order.
-      ntok:   (B,) int32 token count per row.
+    Returns dense (B, n) planes: iota, ml, dist, taken (match emitted at
+    p), lit (p emits a literal), valid (p < row length). Consumed by both
+    the token path (lz77_tokenize) and the on-device static-Huffman
+    bit-packer (ops/deflate_pack.py).
     """
     assert n <= 65536, "position field is 16 bits"
     ctx_bytes = ctx_words * 4
@@ -281,11 +251,61 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     taken, lit = _parse_scan(is_match, ml, seg, nseg, b)
     valid = iota < lengths[:, None]
     lit = lit & valid
+    return iota, ml, dist, taken, lit, valid
+
+
+@functools.partial(jax.jit, static_argnames=("n", "min_match", "max_match",
+                                             "window", "parse_seg",
+                                             "ctx_words", "probes"))
+def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
+                  min_match: int = 4, max_match: int = 258,
+                  window: int = 32768, parse_seg: int = 8192,
+                  ctx_words: int = CTX_WORDS, probes: int = 6,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tokenize a batch of chunks.
+
+    TPU cost model (measured on v5e): sorts and shifts are fast; arbitrary
+    per-element gathers/scatters serialize (~90ms per (128,64K) gather).
+    Every stage here is therefore sorts + shifts only:
+
+      * candidates: one stable sort of (hash<<16|pos) carrying 24 bytes of
+        per-position context; predecessors in sort order are the exact
+        most-recent previous occurrences, and match lengths up to 24 are
+        computed by comparing the CARRIED context words — zero gathers
+      * un-sort: a second sort keyed on position (a permutation)
+      * long matches: saturation doubling — a match saturated at length L
+        whose continuation position i+L holds a same-distance match chains
+        to L + ml[i+L]; i+L is a static shift, so lengths grow 24→48→…→
+        max_match with log rounds of pure shifts
+      * greedy parse + compaction: a single device walk emitting one token
+        per step (the only gathers left: one (B,)-element lookup per
+        emitted token), bounded by the token count, not the byte count
+
+    Args:
+      data: (B, n) uint8, zero-padded beyond per-row ``lengths``.
+      lengths: (B,) int32 valid byte count per row.
+      n: static chunk capacity (power of two, <= 65536).
+      min_match: minimum match length (>= 4; hash-4 candidates).
+      max_match: cap on emitted match length (258 deflate, larger for LZ4).
+      window: max backward distance (32768 deflate).
+
+    Returns:
+      tokens: (B, n) uint32 packed tokens, compacted to each row's prefix
+              in position order.
+      ntok:   (B,) int32 token count per row.
+    """
+    iota, ml, dist, taken, lit, valid = _analyze(
+        data, lengths, n=n, min_match=min_match, max_match=max_match,
+        window=window, parse_seg=parse_seg, ctx_words=ctx_words,
+        probes=probes)
+    b = data.shape[0]
 
     # --- literal runs over the POST-parse literal mask --------------------
-    # lr[p] = forward run length starting at p; bc[p] = backward rank of p
-    # in its run — both by saturation doubling (pure rolls), exact up to n.
-    rounds = int(n - 1).bit_length()
+    # lr[p] = forward run length starting at p, by saturation doubling
+    # (pure rolls). Long runs are split at absolute RUN_SPLIT boundaries
+    # (a run token never crosses one), so lr only needs exactness up to
+    # RUN_SPLIT — 13 doubling rounds instead of 17, and no backward-rank
+    # plane at all (costs a handful of extra tokens on multi-KB runs).
     lr = lit.astype(jnp.int32)
 
     def lr_round(k, lr):
@@ -294,21 +314,17 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
         nlr = jnp.where(iota + span < n, rolled, 0)
         return jnp.where(lr == span, lr + nlr, lr)
 
-    lr = jax.lax.fori_loop(0, rounds, lr_round, lr)
+    lr = jax.lax.fori_loop(0, RUN_SPLIT.bit_length(), lr_round, lr)
 
-    bc = lit.astype(jnp.int32)
-
-    def bc_round(k, bc):
-        span = jnp.int32(1) << k
-        rolled = jnp.roll(bc, span, axis=1)
-        prv = jnp.where(iota - span >= 0, rolled, 0)
-        return jnp.where(bc == span, bc + prv, bc)
-
-    bc = jax.lax.fori_loop(0, rounds, bc_round, bc)
-
-    # run tokens at run starts and every LITRUN_MAX literals thereafter
-    runstart = lit & (((bc - 1) % LITRUN_MAX) == 0)
-    run_tok = TOK_LITRUN_BIT | jnp.minimum(lr, LITRUN_MAX).astype(jnp.uint32)
+    # run tokens at run starts and at RUN_SPLIT-aligned positions inside
+    # a run; lengths stop at the next boundary so the stream stays
+    # position-consistent for the packers
+    prev_lit = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), lit[:, :-1]], axis=1)
+    at_split = (iota & (RUN_SPLIT - 1)) == 0
+    runstart = lit & (~prev_lit | at_split)
+    span_left = RUN_SPLIT - (iota & (RUN_SPLIT - 1))
+    run_tok = TOK_LITRUN_BIT | jnp.minimum(lr, span_left).astype(jnp.uint32)
     match_tok = (TOK_MATCH_BIT
                  | (ml.astype(jnp.uint32) << 16)
                  | (dist - 1).astype(jnp.uint32))

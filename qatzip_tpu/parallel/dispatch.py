@@ -55,6 +55,12 @@ class TpuEngine:
         # exact vs zlib, opt-in — on relay-limited dev tunnels host crc is
         # cheaper than the extra device program
         self._device_crc = os.environ.get("QZTPU_DEVICE_CRC", "0") == "1"
+        # device-side static-Huffman entropy packing (ops/deflate_pack.py):
+        # d2h carries final compressed words instead of tokens and the
+        # host only frames members — the QAT-silicon single-call-compress
+        # analog (src/qatzip.c:1445). Static Huffman only; dynamic stays
+        # on the host packer.
+        self._device_pack = os.environ.get("QZTPU_DEVICE_PACK", "0") == "1"
 
     # -- tokenizer params per algorithm -------------------------------------
     @staticmethod
@@ -168,6 +174,10 @@ class TpuEngine:
         finals = list(final_flags) if final_flags is not None \
             else [True] * len(chunks)
 
+        if (self._device_pack and algorithm == "deflate"
+                and all(len(c) <= 65536 for c in chunks)):
+            return self._compress_device_packed(chunks, finals, level, cnv)
+
         # The device tokenizer's position field caps a row at 64 KiB;
         # sessions may use hw_buff_sz up to 512 KiB (params validation),
         # so oversized chunks are split into device rows and their block
@@ -214,6 +224,77 @@ class TpuEngine:
                 gi = start + i
                 futures.append(pool.submit(
                     pack_one, (gi, chunks[gi], toks[i], ntok[i], crcs[i])))
+        for f in futures:
+            gi, payload, crc = f.result()
+            results[gi] = (payload, crc)
+        return results  # type: ignore[return-value]
+
+    def _compress_device_packed(self, chunks, finals, level, cnv):
+        """Full-device deflate: tokenize AND entropy-pack on device; d2h
+        carries final bitstream words (bucketed to the batch max). Host
+        work per chunk: BFINAL flip / full-flush sync, stored-block guard
+        on expansion, crc32."""
+        import jax.numpy as jnp
+        from ..ops.deflate_pack import deflate_pack_device, finish_stream
+
+        n = 1
+        for c in chunks:
+            while n < len(c):
+                n <<= 1
+        n = max(n, 256)
+
+        pending = []
+        for start in range(0, len(chunks), TILE_B):
+            tile = chunks[start:start + TILE_B]
+            b = _bucket(len(tile))
+            data = np.zeros((b, n), np.uint8)
+            lengths = np.zeros(b, np.int32)
+            for i, c in enumerate(tile):
+                a = np.frombuffer(c, np.uint8)
+                data[i, :len(a)] = a
+                lengths[i] = len(a)
+            words, nbits = deflate_pack_device(
+                jnp.asarray(data), jnp.asarray(lengths), n=n)
+            pending.append((start, len(tile), words, nbits))
+
+        results: List[Optional[Tuple[bytes, int]]] = [None] * len(chunks)
+        from ..engines import host_pool
+        pool = host_pool()
+
+        def finish_one(args):
+            gi, words_row, bits = args
+            chunk = chunks[gi]
+            payload = finish_stream(words_row, bits, final=finals[gi])
+            # stored-block guard: never ship an expanded static stream
+            # (the CnV-failure stored fallback, src/qatzip.c:1774-1806)
+            if len(payload) >= len(chunk) + 8 and chunk:
+                from .. import native
+                if native.lib is not None:
+                    toks, rem = [], len(chunk)
+                    while rem:          # all-literal-run token cover
+                        t = min(rem, 16383)
+                        toks.append(0x40000000 | t)
+                        rem -= t
+                    payload = native.lib.deflate_pack(
+                        chunk, np.asarray(toks, np.uint32), len(toks),
+                        final=finals[gi], mode=0)
+            if cnv:
+                payload = self._verify_or_fallback(
+                    chunk, payload, "deflate", finals[gi], level, 3)
+            return gi, payload, zlib.crc32(chunk) & 0xFFFFFFFF
+
+        futures = []
+        for start, nt, words, nbits in pending:
+            nbits_np = np.asarray(nbits)
+            maxw = int(nbits_np.max() + 31) // 32 + 1 if nt else 1
+            k = 256
+            while k < maxw:
+                k <<= 1
+            k = min(k, words.shape[1])
+            words_np = np.asarray(words[:, :k])   # bucketed d2h slice
+            for i in range(nt):
+                futures.append(pool.submit(
+                    finish_one, (start + i, words_np[i], int(nbits_np[i]))))
         for f in futures:
             gi, payload, crc = f.result()
             results[gi] = (payload, crc)

@@ -1,0 +1,111 @@
+"""On-device static-Huffman bit-packer: byte-exact deflate vs stock zlib.
+
+The device emits final bitstream words (ops/deflate_pack.py); the host
+only flips BFINAL / appends the full-flush sync. Every stream here is
+decoded by stock zlib and compared byte-exact — the same bar the host
+packer meets (reference CnV philosophy, src/qatzip.c:1387).
+"""
+
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from qatzip_tpu.ops.deflate_pack import deflate_pack_device, finish_stream
+
+
+def _pack_rows(rows, n, lengths=None):
+    b = len(rows)
+    data = np.zeros((b, n), np.uint8)
+    lens = np.zeros(b, np.int32)
+    for i, r in enumerate(rows):
+        a = np.frombuffer(r, np.uint8)
+        data[i, : len(a)] = a
+        lens[i] = len(a)
+    if lengths is not None:
+        lens = np.asarray(lengths, np.int32)
+    words, nbits = deflate_pack_device(jnp.asarray(data), jnp.asarray(lens),
+                                       n=n)
+    return np.asarray(words), np.asarray(nbits), lens
+
+
+CORPORA = [
+    b"hello world hello world hello hello world!" * 30,
+    bytes(range(256)) * 16,                          # all byte values, 9-bit
+    b"A" * 5000,                                     # long single-run
+    os.urandom(4096),                                # incompressible
+    b"",                                             # empty chunk
+    b"x",                                            # single byte
+    (b"abcdefgh" * 100 + os.urandom(64)) * 4,        # mixed
+]
+
+
+def test_device_pack_decodes_with_stock_zlib():
+    n = 4096
+    rows = [c[:n] for c in CORPORA]
+    words, nbits, lens = _pack_rows(rows, n)
+    for i, row in enumerate(rows):
+        stream = finish_stream(words[i], int(nbits[i]), final=True)
+        out = zlib.decompressobj(-15).decompress(stream)
+        assert out == row, f"row {i} mismatch ({len(out)} vs {len(row)})"
+
+
+def test_device_pack_full_flush_concatenation():
+    """Non-final chunks end with the empty-stored-block sync; byte-level
+    concatenation must form one valid raw stream (the multi-chunk RAW
+    path, reference FLUSH_FULL per chunk, src/qatzip.c:1384-1394)."""
+    n = 2048
+    pieces = [b"chunk one " * 100, b"chunk two differs " * 80,
+              os.urandom(1500)]
+    words, nbits, _ = _pack_rows([p[:n] for p in pieces], n)
+    blob = b"".join(
+        finish_stream(words[i], int(nbits[i]), final=(i == len(pieces) - 1))
+        for i in range(len(pieces)))
+    out = zlib.decompressobj(-15).decompress(blob)
+    assert out == b"".join(p[:n] for p in pieces)
+
+
+def test_device_pack_64k_silesia_slice():
+    n = 65536
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import make_corpus
+    blob = make_corpus(1)
+    rows = [blob[i * n:(i + 1) * n] for i in range(4)]
+    words, nbits, _ = _pack_rows(rows, n)
+    total = 0
+    for i, row in enumerate(rows):
+        stream = finish_stream(words[i], int(nbits[i]), final=True)
+        assert zlib.decompressobj(-15).decompress(stream) == row
+        total += len(stream)
+    # static Huffman should still beat stored and be in zlib's ballpark
+    assert total < sum(len(r) for r in rows)
+
+
+def test_device_pack_matches_host_static_sizes():
+    """Device static pack and the host static packer consume the same
+    parse, so sizes should be close (both are static-Huffman greedy)."""
+    from qatzip_tpu import native
+    if native.lib is None:
+        pytest.skip("native lib unavailable")
+    from qatzip_tpu.ops.lz77 import lz77_tokenize
+    n = 8192
+    row = ((b"the quick brown fox " * 300 + os.urandom(512)) * 2)[:n]
+    assert len(row) == n
+    words, nbits, _ = _pack_rows([row], n)
+    dev_stream = finish_stream(words[0], int(nbits[0]), final=True)
+
+    data = np.zeros((1, n), np.uint8)
+    data[0] = np.frombuffer(row.ljust(n, b"\0"), np.uint8)
+    toks, ntok = lz77_tokenize(jnp.asarray(data),
+                               jnp.asarray(np.array([n], np.int32)), n=n)
+    host_stream = native.lib.deflate_pack(row.ljust(n, b"\0"),
+                                          np.asarray(toks)[0],
+                                          int(np.asarray(ntok)[0]),
+                                          final=True, mode=1)
+    assert zlib.decompressobj(-15).decompress(dev_stream) == row.ljust(n,
+                                                                       b"\0")
+    assert abs(len(dev_stream) - len(host_stream)) <= 16
