@@ -65,42 +65,77 @@ def _probe_d2h_mbps() -> float:
     return (4 << 20) / dt / 1e6
 
 
-def _device_pipeline_gbps(corpus: bytes, iters: int) -> float:
-    """Throughput of the on-device tokenize pipeline alone (the TPU engine
-    rate — the analog of the reference's QAT engine Gbps, which its perf
-    harness measures over in-memory buffers, test/main.c -m 4)."""
+def _device_batch(corpus: bytes, b: int, n: int):
     import jax
-    import jax.numpy as jnp
-    from qatzip_tpu.ops.lz77 import lz77_tokenize
 
-    n = 65536
-    b = 128
     data = np.zeros((b, n), np.uint8)
     view = memoryview(corpus)
     for i in range(b):
         data[i] = np.frombuffer(view[i * n:(i + 1) * n], np.uint8)
     lengths = np.full(b, n, np.int32)
+    return jax.device_put(data), jax.device_put(lengths)
+
+
+def _time_step(fn, args, iters) -> float:
+    """Best per-iteration seconds with forced host materialization.
+
+    NOTE: on the axon relay block_until_ready does not wait for remote
+    execution — materialize a scalar each iteration. (Chaining outputs
+    into one final sync measures slower on the relay, so per-iteration
+    sync is both the honest and the tighter measure.)
+    """
+    int(fn(*args))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        int(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _device_pipeline_gbps(corpus: bytes, iters: int, b: int = 256) -> float:
+    """Throughput of the on-device tokenize pipeline alone (the TPU engine
+    rate — the analog of the reference's QAT engine Gbps, which its perf
+    harness measures over in-memory buffers, test/main.c -m 4)."""
     import functools
 
-    dd = jax.device_put(data)
-    ll = jax.device_put(lengths)
+    import jax
+    import jax.numpy as jnp
+    from qatzip_tpu.ops.lz77 import lz77_tokenize
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def step(data, lengths, n):
-        toks, ntok = lz77_tokenize(data, lengths, n=n)
-        return jnp.sum(toks.astype(jnp.uint32)) + jnp.sum(ntok).astype(
-            jnp.uint32)
+    n = 65536
+    dd, ll = _device_batch(corpus, b, n)
 
-    # NOTE: on the axon relay block_until_ready does not wait for remote
-    # execution — materialize a scalar each iteration. (Chaining outputs
-    # into one final sync measures slower on the relay, so per-iteration
-    # sync is both the honest and the tighter measure.)
-    int(step(dd, ll, n))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        int(step(dd, ll, n))
-    dt = (time.perf_counter() - t0) / iters
-    return b * n / dt / 1e9
+    @functools.partial(jax.jit, static_argnames=("n", "ctx"))
+    def tok_step(data, lengths, n, ctx):
+        toks, ntok = lz77_tokenize(data, lengths, n=n, ctx_words=ctx)
+        return (jnp.sum(toks.astype(jnp.uint32))
+                + jnp.sum(ntok).astype(jnp.uint32))
+
+    best = _time_step(lambda d, l: tok_step(d, l, n, 4), (dd, ll), iters)
+    return b * n / best / 1e9
+
+
+def _device_pack_gbps(corpus: bytes, iters: int, b: int = 256) -> float:
+    """Throughput of the FULL on-device pipeline to final compressed words
+    (tokenize + static-Huffman bit-pack, ops/deflate_pack.py) — d2h would
+    carry compressed bytes, the QAT single-call-compress analog."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from qatzip_tpu.ops.deflate_pack import deflate_pack_device
+
+    n = 65536
+    dd, ll = _device_batch(corpus, b, n)
+
+    @functools.partial(jax.jit, static_argnames=("n", "ctx"))
+    def pack_step(data, lengths, n, ctx):
+        words, nbits = deflate_pack_device(data, lengths, n=n, ctx_words=ctx)
+        return jnp.sum(words) + jnp.sum(nbits).astype(jnp.uint32)
+
+    best = _time_step(lambda d, l: pack_step(d, l, n, 4), (dd, ll), iters)
+    return b * n / best / 1e9
 
 
 def main():
@@ -158,6 +193,8 @@ def main():
     relay_limited = d2h_mbps is not None and d2h_mbps < 200.0
     dev_gbps = (_device_pipeline_gbps(corpus, max(iters, 3))
                 if on_device else None)
+    dev_pack_gbps = (_device_pack_gbps(corpus, max(iters, 3))
+                     if on_device else None)
 
     # Headline: on a relay-limited dev tunnel the end-to-end number
     # measures the tunnel, not the engine — report the device pipeline
@@ -176,6 +213,8 @@ def main():
         "e2e_compress_gbps": round(best / 1e9, 4),
         "decompress_gbps": round(n / ddt / 1e9, 4),
         "device_pipeline_gbps": round(dev_gbps, 4) if dev_gbps else None,
+        "device_pack_gbps": (round(dev_pack_gbps, 4)
+                             if dev_pack_gbps else None),
         "d2h_mbps": round(d2h_mbps, 2) if d2h_mbps else None,
         "relay_limited": relay_limited,
         "ratio": round(n / len(out), 4),

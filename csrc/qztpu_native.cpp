@@ -1141,4 +1141,365 @@ int64_t qz_deflate_static_block(const uint8_t* lits, const uint16_t* lens,
   return (bw.bitpos + 7) >> 3;
 }
 
+// ---------------------------------------------------------------------------
+// Fast raw-DEFLATE inflate — the decompress hot loop's host leg.
+//
+// The reference offloads the whole decompress loop to QAT silicon
+// (src/qatzip.c:2374-2797, cpaDcDecompressData at :2543); our members are
+// decoded host-side in parallel worker threads, so the per-core decode rate
+// is the ceiling. zlib's inflate measures ~356 MB/s/core here; this
+// implementation (64-bit bit buffer, flat 15-bit first-level Huffman
+// tables, 8-byte pattern copies) targets ~2x that. Written from RFC1951.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BitIn {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t bits;
+  int nbits;
+  int pad;  // phantom zero bytes fed past the end
+
+  void init(const uint8_t* src, int64_t n) {
+    p = src;
+    end = src + n;
+    bits = 0;
+    nbits = 0;
+    pad = 0;
+  }
+  // true when any phantom (past-end) bit has been consumed — phantom
+  // bytes are the newest, so they are intact iff nbits still covers them
+  inline bool overran() const { return pad * 8 > nbits; }
+  inline void refill() {
+    if (end - p >= 8) {
+      uint64_t w;
+      std::memcpy(&w, p, 8);
+      bits |= w << nbits;
+      p += (63 - nbits) >> 3;
+      nbits |= 56;
+      return;
+    }
+    while (nbits <= 56) {
+      if (p < end) {
+        bits |= (uint64_t)(*p++) << nbits;
+        nbits += 8;
+      } else if (pad >= 4) {
+        break;
+      } else {
+        // past the end: feed zeros; consuming them = truncated stream
+        ++pad;
+        nbits += 8;
+      }
+    }
+  }
+  inline uint32_t peek(int k) { return (uint32_t)(bits & ((1u << k) - 1)); }
+  inline void drop(int k) {
+    bits >>= k;
+    nbits -= k;
+  }
+  inline uint32_t get(int k) {
+    uint32_t v = (uint32_t)(bits & ((1ull << k) - 1));
+    drop(k);
+    return v;
+  }
+};
+
+// Two-level Huffman decode table (zlib-style): 10-bit root, per-prefix
+// subtables for codes longer than ROOT. Root entry layout:
+//   direct:   (sym << 5) | len            (len <= ROOT, len in bits 0-4)
+//   subtable: 0x80000000 | (suboff << 5) | sublen
+// Sub entry layout: (sym << 5) | full_len.  0 = invalid.
+static const int HUFF_ROOT = 10;
+
+struct HuffTable {
+  uint32_t root[1 << HUFF_ROOT];
+  uint32_t sub[1 << 13];
+};
+
+// build from canonical code lengths; returns false on oversubscription
+static bool build_table(const uint8_t* lens, int nsyms, HuffTable* ht) {
+  int count[16] = {0};
+  for (int i = 0; i < nsyms; ++i) {
+    if (lens[i] > 15) return false;
+    count[lens[i]]++;
+  }
+  count[0] = 0;
+  uint32_t code = 0;
+  uint32_t next[16] = {0};
+  for (int l = 1; l <= 15; ++l) {
+    code = (code + count[l - 1]) << 1;
+    next[l] = code;
+  }
+  uint32_t left = 1 << 15;
+  for (int l = 1; l <= 15; ++l) {
+    if ((uint32_t)count[l] << (15 - l) > left) return false;
+    left -= (uint32_t)count[l] << (15 - l);
+  }
+  std::memset(ht->root, 0, sizeof(ht->root));
+  // pass 1: per-root-prefix max length of long codes -> subtable sizes
+  uint8_t submax[1 << HUFF_ROOT];
+  std::memset(submax, 0, sizeof(submax));
+  uint32_t nxt2[16];
+  std::memcpy(nxt2, next, sizeof(nxt2));
+  bool any_long = false;
+  for (int i = 0; i < nsyms; ++i) {
+    int l = lens[i];
+    if (l <= HUFF_ROOT) {
+      if (l) nxt2[l]++;
+      continue;
+    }
+    any_long = true;
+    uint32_t c = nxt2[l]++;
+    uint32_t r = 0;
+    for (int k = 0; k < l; ++k) r |= ((c >> k) & 1) << (l - 1 - k);
+    uint32_t prefix = r & ((1u << HUFF_ROOT) - 1);
+    uint8_t need = (uint8_t)(l - HUFF_ROOT);
+    if (need > submax[prefix]) submax[prefix] = need;
+  }
+  uint32_t suboff_acc = 0;
+  uint32_t suboff[1 << HUFF_ROOT];
+  if (any_long) {
+    for (int pr = 0; pr < (1 << HUFF_ROOT); ++pr) {
+      suboff[pr] = suboff_acc;
+      if (submax[pr]) {
+        uint32_t sz = 1u << submax[pr];
+        if (suboff_acc + sz > (1u << 13)) return false;
+        std::memset(ht->sub + suboff_acc, 0, sz * sizeof(uint32_t));
+        ht->root[pr] = 0x80000000u | (suboff_acc << 5) | submax[pr];
+        suboff_acc += sz;
+      }
+    }
+  }
+  // pass 2: fill entries
+  for (int i = 0; i < nsyms; ++i) {
+    int l = lens[i];
+    if (!l) continue;
+    uint32_t c = next[l]++;
+    uint32_t r = 0;
+    for (int k = 0; k < l; ++k) r |= ((c >> k) & 1) << (l - 1 - k);
+    if (l <= HUFF_ROOT) {
+      uint32_t entry = ((uint32_t)i << 5) | (uint32_t)l;
+      for (uint32_t fill = r; fill < (1u << HUFF_ROOT); fill += 1u << l)
+        ht->root[fill] = entry;
+    } else {
+      uint32_t prefix = r & ((1u << HUFF_ROOT) - 1);
+      uint32_t rest = r >> HUFF_ROOT;          // (l - ROOT) bits
+      uint32_t sm = submax[prefix];
+      uint32_t base = suboff[prefix];
+      uint32_t entry = ((uint32_t)i << 5) | (uint32_t)l;
+      for (uint32_t fill = rest; fill < (1u << sm);
+           fill += 1u << (l - HUFF_ROOT))
+        ht->sub[base + fill] = entry;
+    }
+  }
+  return true;
+}
+
+static const uint16_t LEN_BASE_TBL[29] = {
+    3,  4,  5,  6,  7,  8,  9,  10, 11,  13,  15,  17,  19,  23, 27,
+    31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const uint8_t LEN_EXTRA_TBL[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
+                                          1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                                          4, 4, 4, 4, 5, 5, 5, 5, 0};
+static const uint16_t DIST_BASE_TBL[30] = {
+    1,    2,    3,    4,    5,    7,    9,    13,   17,   25,
+    33,   49,   65,   97,   129,  193,  257,  385,  513,  769,
+    1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289, 16385, 24577};
+static const uint8_t DIST_EXTRA_TBL[30] = {0, 0, 0, 0, 1, 1, 2, 2,  3,  3,
+                                           4, 4, 5, 5, 6, 6, 7, 7,  8,  8,
+                                           9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+
+static HuffTable g_static_lit;
+static HuffTable g_static_dist;
+static bool g_static_ready = false;
+
+static void init_static_tables() {
+  uint8_t ll[288];
+  for (int i = 0; i < 144; ++i) ll[i] = 8;
+  for (int i = 144; i < 256; ++i) ll[i] = 9;
+  for (int i = 256; i < 280; ++i) ll[i] = 7;
+  for (int i = 280; i < 288; ++i) ll[i] = 8;
+  build_table(ll, 288, &g_static_lit);
+  uint8_t dl[30];
+  for (int i = 0; i < 30; ++i) dl[i] = 5;
+  build_table(dl, 30, &g_static_dist);
+  g_static_ready = true;
+}
+
+static inline int decode_sym_nr(BitIn& in, const HuffTable& ht) {
+  uint32_t e = ht.root[(uint32_t)in.bits & ((1u << HUFF_ROOT) - 1)];
+  if (e & 0x80000000u) {
+    uint32_t sublen = e & 31;
+    uint32_t suboff = (e >> 5) & 0x3FFFFFF;
+    e = ht.sub[suboff +
+               (((uint32_t)(in.bits >> HUFF_ROOT)) & ((1u << sublen) - 1))];
+  }
+  if (!e) return -1;
+  int l = (int)(e & 31);
+  if (l > in.nbits) return -1;
+  in.drop(l);
+  return (int)(e >> 5);
+}
+
+static inline int decode_sym(BitIn& in, const HuffTable& ht) {
+  in.refill();
+  return decode_sym_nr(in, ht);
+}
+
+// overlap-safe backward copy with 8-byte stamping for dist >= 8
+static inline void copy_match(uint8_t* op, int64_t dist, int64_t len,
+                              uint8_t* out_end_cap) {
+  const uint8_t* src = op - dist;
+  if (dist == 1) {           // RLE run — the most common overlap case
+    std::memset(op, src[0], (size_t)len);
+    return;
+  }
+  if (dist >= 8 && op + len + 8 <= out_end_cap) {
+    uint8_t* o = op;
+    const uint8_t* s = src;
+    int64_t k = len;
+    while (k > 0) {
+      std::memcpy(o, s, 8);
+      o += 8;
+      s += 8;
+      k -= 8;
+    }
+  } else {
+    for (int64_t k = 0; k < len; ++k) op[k] = src[k];
+  }
+}
+
+}  // namespace
+
+// Decode one complete raw deflate stream (to BFINAL). Returns bytes
+// written, or -1 on malformed input / overflow. Thread-safe, GIL-free.
+int64_t qz_inflate_raw(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t cap) {
+  static bool ready = (init_static_tables(), true);
+  (void)ready;
+  BitIn in;
+  in.init(src, n);
+  uint8_t* op = dst;
+  uint8_t* oend = dst + cap;
+  static thread_local HuffTable* lit_tbl = new HuffTable;
+  static thread_local HuffTable* dist_tbl = new HuffTable;
+  int64_t result = -1;
+
+  for (;;) {
+    in.refill();
+    uint32_t bfinal = in.get(1);
+    uint32_t btype = in.get(2);
+    if (in.overran()) goto done;
+    if (btype == 0) {  // stored
+      in.drop(in.nbits & 7);  // byte align
+      if (in.overran()) goto done;
+      // rewind: return whole buffered real bytes to the pointer domain
+      while (in.pad > 0 && in.nbits >= 8) {
+        in.nbits -= 8;
+        --in.pad;
+      }
+      while (in.nbits >= 8) {
+        in.nbits -= 8;
+        --in.p;
+      }
+      in.bits = 0;
+      if (in.p + 4 > in.end) goto done;
+      uint32_t len = in.p[0] | (in.p[1] << 8);
+      uint32_t nlen = in.p[2] | (in.p[3] << 8);
+      if ((len ^ 0xFFFF) != nlen) goto done;
+      in.p += 4;
+      if (in.p + len > in.end || op + len > oend) goto done;
+      std::memcpy(op, in.p, len);
+      in.p += len;
+      op += len;
+    } else if (btype == 1 || btype == 2) {
+      const HuffTable* lt;
+      const HuffTable* dt;
+      if (btype == 1) {
+        lt = &g_static_lit;
+        dt = &g_static_dist;
+      } else {
+        // dynamic: decode the code-length code (RFC1951 3.2.7)
+        in.refill();
+        uint32_t hlit = in.get(5) + 257;
+        uint32_t hdist = in.get(5) + 1;
+        uint32_t hclen = in.get(4) + 4;
+        if (hlit > 288 || hdist > 32) goto done;
+        static const uint8_t ord[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
+                                        11, 4,  12, 3, 13, 2, 14, 1, 15};
+        uint8_t cl_lens[19] = {0};
+        for (uint32_t i = 0; i < hclen; ++i) {
+          in.refill();
+          cl_lens[ord[i]] = (uint8_t)in.get(3);
+        }
+        HuffTable cl_tbl;
+        if (!build_table(cl_lens, 19, &cl_tbl)) goto done;
+        uint8_t all[320] = {0};
+        uint32_t idx = 0;
+        while (idx < hlit + hdist) {
+          int s = decode_sym(in, cl_tbl);
+          if (s < 0 || in.overran()) goto done;
+          if (s < 16) {
+            all[idx++] = (uint8_t)s;
+          } else if (s == 16) {
+            if (idx == 0) goto done;
+            in.refill();
+            uint32_t r = 3 + in.get(2);
+            if (idx + r > hlit + hdist) goto done;
+            uint8_t v = all[idx - 1];
+            while (r--) all[idx++] = v;
+          } else if (s == 17) {
+            in.refill();
+            uint32_t r = 3 + in.get(3);
+            if (idx + r > hlit + hdist) goto done;
+            idx += r;
+          } else {
+            in.refill();
+            uint32_t r = 11 + in.get(7);
+            if (idx + r > hlit + hdist) goto done;
+            idx += r;
+          }
+        }
+        if (!build_table(all, (int)hlit, lit_tbl)) goto done;
+        if (!build_table(all + hlit, (int)hdist, dist_tbl)) goto done;
+        lt = lit_tbl;
+        dt = dist_tbl;
+      }
+      for (;;) {
+        in.refill();
+        int s = decode_sym_nr(in, *lt);
+        // literal fast loop: one refill covers several <=15-bit codes
+        while ((unsigned)s < 256) {
+          if (op >= oend) goto done;
+          *op++ = (uint8_t)s;
+          if (in.nbits < 20) in.refill();
+          s = decode_sym_nr(in, *lt);
+        }
+        if (s < 0 || in.overran()) goto done;
+        if (s == 256) break;
+        if (s > 285) goto done;
+        int li = s - 257;
+        in.refill();   // 56+ bits cover len extra + dist code + dist extra
+        int64_t len = LEN_BASE_TBL[li] + in.get(LEN_EXTRA_TBL[li]);
+        int d = decode_sym_nr(in, *dt);
+        if (d < 0 || d > 29 || in.overran()) goto done;
+        int64_t dist = DIST_BASE_TBL[d] + in.get(DIST_EXTRA_TBL[d]);
+        if (dist > op - dst || op + len > oend) goto done;
+        copy_match(op, dist, len, oend);
+        op += len;
+      }
+    } else {
+      goto done;
+    }
+    if (bfinal) {
+      if (in.overran()) goto done;
+      result = (int64_t)(op - dst);
+      goto done;
+    }
+  }
+done:
+  return result;   // lit_tbl/dist_tbl are thread_local, reused across calls
+}
+
 }  // extern "C"

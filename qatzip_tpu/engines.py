@@ -93,9 +93,17 @@ class HostEngine:
                           algorithm: str = "deflate") -> List[bytes]:
         """Decode independent raw payloads (ordered retirement is the
         caller's list order — the seq-number stitch of doDecompressOut)."""
+        from . import native as _native
+
         def one(args):
             payload, sz = args
             if algorithm == "deflate":
+                # fast native inflate (csrc qz_inflate_raw, ~2x zlib);
+                # malformed input falls back to zlib for exact rc/message
+                if _native.lib is not None and sz >= 0:
+                    out = _native.lib.inflate_raw(payload, sz)
+                    if out is not None:
+                        return out
                 return inflate_raw(payload, sz if sz >= 0 else None)
             if algorithm == "lz4":
                 from .sw.codec import _lz4_block_decompress

@@ -99,6 +99,9 @@ class _NativeLib:
             _u8p, ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, _u8p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, _i64p]
+        L.qz_inflate_raw.restype = ctypes.c_int64
+        L.qz_inflate_raw.argtypes = [_u8p, ctypes.c_int64, _u8p,
+                                     ctypes.c_int64]
         L.qz_deflate_pack.restype = ctypes.c_int64
         L.qz_deflate_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                       ctypes.c_int64, _u8p, ctypes.c_int64,
@@ -126,6 +129,17 @@ class _NativeLib:
             poly & 0xFFFFFFFFFFFFFFFF, 1 if reflected else 0,
             tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
         return tbl
+
+    def inflate_raw(self, src: bytes, out_cap: int):
+        """Fast raw-deflate decode; returns bytes or None on malformed
+        input (caller falls back to zlib for the error message)."""
+        dst = np.empty(max(out_cap, 1), np.uint8)
+        sa = np.frombuffer(src, np.uint8) if src else np.empty(1, np.uint8)
+        r = self._lib.qz_inflate_raw(self._as_u8p(sa), len(src),
+                                     self._as_u8p(dst), out_cap)
+        if r < 0:
+            return None
+        return dst[:r].tobytes()
 
     def crc64(self, data, tbl: np.ndarray, crc: int, reflected: bool) -> int:
         sa = (np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray)
