@@ -1141,6 +1141,56 @@ int64_t qz_deflate_static_block(const uint8_t* lits, const uint16_t* lens,
   return (bw.bitpos + 7) >> 3;
 }
 
+// Parse an LZ4 block into a reference plane for device-side resolution:
+// ref[i] = -(byte+1) for literal output positions (resolved values), or
+// the source output index (i - offset) for match positions. The device
+// then resolves match chains by pointer doubling (ops/lz4_decode.py) —
+// the serial window-copy dependency expressed as log-depth gathers.
+// Returns decoded length or -1 on malformed input.
+int64_t qz_lz4_ref_block(const uint8_t* src, int64_t n, int32_t* ref,
+                         int64_t cap) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + n;
+  int64_t pos = 0;
+  if (n == 0) return -1;
+  while (ip < iend) {
+    uint32_t token = *ip++;
+    int64_t litlen = token >> 4;
+    if (litlen == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        litlen += b;
+      } while (b == 255);
+    }
+    if (ip + litlen > iend || pos + litlen > cap) return -1;
+    for (int64_t k = 0; k < litlen; ++k) ref[pos + k] = -1 - (int32_t)ip[k];
+    ip += litlen;
+    pos += litlen;
+    if (ip >= iend) break;  // last sequence: literals only
+    if (ip + 2 > iend) return -1;
+    uint32_t off = ip[0] | (ip[1] << 8);
+    ip += 2;
+    if (off == 0 || off > pos) return -1;
+    int64_t mlen = (token & 15);
+    if (mlen == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (pos + mlen > cap) return -1;
+    for (int64_t k = 0; k < mlen; ++k)
+      ref[pos + k] = (int32_t)(pos + k - off);
+    pos += mlen;
+  }
+  return pos;
+}
+
 // ---------------------------------------------------------------------------
 // Fast raw-DEFLATE inflate — the decompress hot loop's host leg.
 //

@@ -102,6 +102,10 @@ class _NativeLib:
         L.qz_inflate_raw.restype = ctypes.c_int64
         L.qz_inflate_raw.argtypes = [_u8p, ctypes.c_int64, _u8p,
                                      ctypes.c_int64]
+        _i32p = ctypes.POINTER(ctypes.c_int32)
+        L.qz_lz4_ref_block.restype = ctypes.c_int64
+        L.qz_lz4_ref_block.argtypes = [_u8p, ctypes.c_int64, _i32p,
+                                       ctypes.c_int64]
         L.qz_deflate_pack.restype = ctypes.c_int64
         L.qz_deflate_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                       ctypes.c_int64, _u8p, ctypes.c_int64,

@@ -372,9 +372,24 @@ class TpuEngine:
     def decompress_chunks(self, payloads: Sequence[bytes],
                           expected_sizes: Sequence[int], *,
                           algorithm: str = "deflate") -> List[bytes]:
-        """Decode stays on the host this round (bit-serial Huffman decode
-        does not map to the vector units; per-member host threads are the
-        current design point — see SURVEY.md §7 'hard parts')."""
+        """Decompress router — the isQATProcessable analog in reverse.
+
+        A device leg exists for LZ4 (host ref-plane parse + device
+        pointer-doubling chain resolution, ops/lz4_decode.py) and is
+        selected with QZTPU_DEVICE_DECODE=1. The default routes members to
+        the host pool: batched native inflate/LZ4 measurably beats the
+        gather-bound device resolution on this hardware (per-element
+        gathers serialize at ~86M elem/s — see the lz4_decode docstring
+        and docs/ROADMAP.md), and routing to the faster engine is exactly
+        how the reference treats its own SW path (src/qatzip.c:2886-2899).
+        """
+        if (algorithm == "lz4"
+                and os.environ.get("QZTPU_DEVICE_DECODE", "0") == "1"):
+            from ..ops.lz4_decode import decode_blocks_device
+            try:
+                return decode_blocks_device(payloads, expected_sizes)
+            except (ValueError, RuntimeError):
+                pass  # malformed or no native parser — host pool decides
         from ..engines import host_engine
         return host_engine.decompress_chunks(payloads, expected_sizes,
                                              algorithm=algorithm)
