@@ -16,9 +16,11 @@
 // Exposed as a plain C ABI for ctypes. All functions are thread-safe and
 // GIL-free (no Python API usage).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 
 #define ZSTD_STATIC_LINKING_ONLY 1
 #include <zstd.h>
@@ -1550,6 +1552,77 @@ int64_t qz_inflate_raw(const uint8_t* src, int64_t n, uint8_t* dst,
   }
 done:
   return result;   // lit_tbl/dist_tbl are thread_local, reused across calls
+}
+
+// ---------------------------------------------------------------------------
+// crc32 (zlib polynomial, reflected) — slicing-by-8, for the batch decoder
+// ---------------------------------------------------------------------------
+static uint32_t g_crc32_tbl[8][256];
+static void init_crc32_tables() {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; ++k) c = (c >> 1) ^ (0xEDB88320u & (~((c & 1) - 1)));
+    g_crc32_tbl[0][i] = c;
+  }
+  for (int t = 1; t < 8; ++t)
+    for (uint32_t i = 0; i < 256; ++i)
+      g_crc32_tbl[t][i] = (g_crc32_tbl[t - 1][i] >> 8) ^
+                          g_crc32_tbl[0][g_crc32_tbl[t - 1][i] & 0xFF];
+}
+
+uint32_t qz_crc32(const uint8_t* p, int64_t n, uint32_t crc) {
+  static bool ready = (init_crc32_tables(), true);
+  (void)ready;
+  crc = ~crc;
+  while (n >= 8) {
+    uint32_t lo, hi;
+    std::memcpy(&lo, p, 4);
+    std::memcpy(&hi, p + 4, 4);
+    lo ^= crc;
+    crc = g_crc32_tbl[7][lo & 0xFF] ^ g_crc32_tbl[6][(lo >> 8) & 0xFF] ^
+          g_crc32_tbl[5][(lo >> 16) & 0xFF] ^ g_crc32_tbl[4][lo >> 24] ^
+          g_crc32_tbl[3][hi & 0xFF] ^ g_crc32_tbl[2][(hi >> 8) & 0xFF] ^
+          g_crc32_tbl[1][(hi >> 16) & 0xFF] ^ g_crc32_tbl[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n-- > 0) crc = (crc >> 8) ^ g_crc32_tbl[0][(crc ^ *p++) & 0xFF];
+  return ~crc;
+}
+
+// ---------------------------------------------------------------------------
+// Batched member decode — the whole decompress hot loop in one GIL-free
+// call: a member batch is decoded straight into a contiguous output by a
+// native thread pool, with per-member crc32 for footer verification.
+// This is the two-thread submit/poll pair of the reference
+// (doDecompressIn/Out, src/qatzip.c:2374-2797) generalized to N workers.
+// out_len[i] = decoded bytes, or -1 for a malformed member.
+// ---------------------------------------------------------------------------
+void qz_inflate_batch(const uint8_t* src, const int64_t* in_off,
+                      const int64_t* in_len, uint8_t* dst,
+                      const int64_t* out_off, const int64_t* out_cap,
+                      int64_t* out_len, uint32_t* crcs, int32_t nmem,
+                      int32_t nthreads) {
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= nmem) return;
+      int64_t r = qz_inflate_raw(src + in_off[i], in_len[i],
+                                 dst + out_off[i], out_cap[i]);
+      out_len[i] = r;
+      crcs[i] = r >= 0 ? qz_crc32(dst + out_off[i], r, 0) : 0;
+    }
+  };
+  if (nthreads <= 1 || nmem <= 1) {
+    worker();
+    return;
+  }
+  int nt = nthreads < nmem ? nthreads : nmem;
+  std::thread threads[64];
+  if (nt > 64) nt = 64;
+  for (int t = 0; t < nt; ++t) threads[t] = std::thread(worker);
+  for (int t = 0; t < nt; ++t) threads[t].join();
 }
 
 }  // extern "C"

@@ -14,6 +14,7 @@ number" invariant is structural rather than enforced by polling.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import List, Optional, Tuple
 
@@ -226,10 +227,34 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
         counters.bump("sw_decompress", 1, len(data))
         return swc.sw_decompress_multi(data, data_fmt, max_out)
 
+    sizes = [m.uncompressed_sz for m in members]
+    consumed = members[-1].offset + members[-1].total_sz
+
+    # Fast path: one GIL-free native call decodes ALL members straight
+    # into a contiguous buffer with its own thread pool + per-member
+    # crc32 (the doDecompressIn/Out submit-poll pair as N workers).
+    from . import native as _native
+    if (_native.lib is not None and all(s >= 0 for s in sizes)
+            and os.environ.get("QZTPU_DEVICE_DECODE", "0") != "1"):
+        in_offs = [m.payload_off for m in members]
+        in_lens = [m.payload_sz for m in members]
+        out_np, crcs, out_lens = _native.lib.inflate_batch(
+            data, in_offs, in_lens, sizes)
+        if all(int(ol) == s for ol, s in zip(out_lens, sizes)):
+            if verify:
+                for m, c in zip(members, crcs):
+                    if m.crc32 is not None and int(c) != m.crc32:
+                        raise QzError(QZ_DATA_ERROR, "member crc32 mismatch")
+            total_crc = 0
+            for c, s in zip(crcs, sizes):
+                total_crc = crc32_combine(total_crc, int(c), s)
+            return out_np.tobytes(), consumed, total_crc
+        counters.bump("sw_decompress_fallback", 1, len(data))
+        return swc.sw_decompress_multi(data, data_fmt, max_out)
+
     payloads = [bytes(memoryview(data)[m.payload_off:
                                        m.payload_off + m.payload_sz])
                 for m in members]
-    sizes = [m.uncompressed_sz for m in members]
     eng = engine or host_engine
     try:
         pieces = (eng.decompress_chunks(payloads, sizes, algorithm="deflate")
@@ -250,7 +275,6 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
                 raise QzError(QZ_DATA_ERROR, "member ISIZE mismatch")
 
     out = b"".join(pieces)
-    consumed = members[-1].offset + members[-1].total_sz
     return out, consumed, crc32(out)
 
 

@@ -106,6 +106,12 @@ class _NativeLib:
         L.qz_lz4_ref_block.restype = ctypes.c_int64
         L.qz_lz4_ref_block.argtypes = [_u8p, ctypes.c_int64, _i32p,
                                        ctypes.c_int64]
+        L.qz_crc32.restype = ctypes.c_uint32
+        L.qz_crc32.argtypes = [_u8p, ctypes.c_int64, ctypes.c_uint32]
+        L.qz_inflate_batch.restype = None
+        L.qz_inflate_batch.argtypes = [_u8p, _i64p, _i64p, _u8p, _i64p,
+                                       _i64p, _i64p, _u32p,
+                                       ctypes.c_int32, ctypes.c_int32]
         L.qz_deflate_pack.restype = ctypes.c_int64
         L.qz_deflate_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                       ctypes.c_int64, _u8p, ctypes.c_int64,
@@ -133,6 +139,46 @@ class _NativeLib:
             poly & 0xFFFFFFFFFFFFFFFF, 1 if reflected else 0,
             tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
         return tbl
+
+    def inflate_batch(self, data, in_offs, in_lens, out_sizes,
+                      nthreads: int = 0):
+        """Decode a member batch straight into one contiguous buffer with
+        a native thread pool (GIL-free end to end).
+
+        Returns (out: np.uint8 array of sum(out_sizes), member_crcs,
+        member_lens). A malformed member has len -1; caller decides the
+        fallback (the SW route, as the reference does per-member).
+        """
+        import os as _os
+        n = len(in_offs)
+        sa = (np.frombuffer(data, np.uint8)
+              if not isinstance(data, np.ndarray) else data)
+        in_offs = np.ascontiguousarray(in_offs, np.int64)
+        in_lens = np.ascontiguousarray(in_lens, np.int64)
+        caps = np.ascontiguousarray(out_sizes, np.int64)
+        out_offs = np.zeros(n, np.int64)
+        np.cumsum(caps[:-1], out=out_offs[1:])
+        total = int(caps.sum())
+        dst = np.empty(max(total, 1), np.uint8)
+        out_lens = np.empty(n, np.int64)
+        crcs = np.empty(n, np.uint32)
+        if nthreads <= 0:
+            nthreads = min(_os.cpu_count() or 4, 16)
+        self._lib.qz_inflate_batch(
+            self._as_u8p(sa) if len(sa) else self._as_u8p(
+                np.empty(1, np.uint8)),
+            in_offs.ctypes.data_as(_i64p), in_lens.ctypes.data_as(_i64p),
+            self._as_u8p(dst), out_offs.ctypes.data_as(_i64p),
+            caps.ctypes.data_as(_i64p), out_lens.ctypes.data_as(_i64p),
+            crcs.ctypes.data_as(_u32p), n, nthreads)
+        return dst[:total], crcs, out_lens
+
+    def crc32(self, data, crc: int = 0) -> int:
+        sa = (np.frombuffer(data, np.uint8)
+              if not isinstance(data, np.ndarray) else data)
+        return int(self._lib.qz_crc32(
+            self._as_u8p(sa) if len(sa) else self._as_u8p(
+                np.empty(1, np.uint8)), len(sa), crc & 0xFFFFFFFF))
 
     def inflate_raw(self, src: bytes, out_cap: int):
         """Fast raw-deflate decode; returns bytes or None on malformed
