@@ -21,8 +21,10 @@ vector op over the full (batch, chunk) plane:
   4. un-sort           — a second (permutation) sort keyed on position
   5. long matches      — saturation doubling over static shifts
                          (16→32→…→max_match), plus lazy-matching demotion
-  6. parse+compaction  — a device walk emitting one token (match or
-                         literal-RUN) per step, bounded by token count
+  6. parse             — a column-lockstep greedy-parse scan over segment
+                         lanes (one reach scalar per lane, zero gathers)
+  7. compaction        — one 2-operand sort moves emitted tokens to each
+                         row's prefix in position order
 
 Output tokens are packed uint32:
   match:        bit31=1, match length in bits [16,31), (dist-1) in [0,16)
