@@ -173,10 +173,13 @@ def main():
     rt = b"".join(pieces)
     assert rt == corpus, "round-trip mismatch"
 
-    # decompress throughput (framework path)
-    t0 = time.perf_counter()
-    dec = sess.decompress(out)
-    ddt = time.perf_counter() - t0
+    # decompress throughput (framework path) — best of a few runs, the
+    # host-CPU side is sensitive to transient load
+    ddt = float("inf")
+    for _ in range(max(2, iters - 1)):
+        t0 = time.perf_counter()
+        dec = sess.decompress(out)
+        ddt = min(ddt, time.perf_counter() - t0)
     assert dec == corpus
 
     # baseline: single-thread zlib L1 on a slice, scaled

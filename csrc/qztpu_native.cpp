@@ -1364,7 +1364,6 @@ static const uint8_t DIST_EXTRA_TBL[30] = {0, 0, 0, 0, 1, 1, 2, 2,  3,  3,
 
 static HuffTable g_static_lit;
 static HuffTable g_static_dist;
-static bool g_static_ready = false;
 
 static void init_static_tables() {
   uint8_t ll[288];
@@ -1376,7 +1375,6 @@ static void init_static_tables() {
   uint8_t dl[30];
   for (int i = 0; i < 30; ++i) dl[i] = 5;
   build_table(dl, 30, &g_static_dist);
-  g_static_ready = true;
 }
 
 static inline int decode_sym_nr(BitIn& in, const HuffTable& ht) {

@@ -154,12 +154,9 @@ class AQzRuntime:
                 batch = sess.compress_batch([r.src for r in plain])
                 for r, (out, crc) in zip(plain, batch):
                     outs[r.seq] = (out, crc, QZ_OK, None)
-            except QzError as e:
-                for r in plain:
-                    outs[r.seq] = (b"", 0, e.rc, None)
-            except Exception:  # noqa: BLE001
-                for r in plain:
-                    outs[r.seq] = (b"", 0, QZ_FAIL, None)
+            except Exception:  # noqa: BLE001 — isolate failures: fall
+                pass           # back to per-request (handled below), so
+                # one bad request doesn't fail its batch siblings
 
         for r in ordered:
             if r.seq not in outs:

@@ -50,14 +50,20 @@ class Crc64:
     no-native fallback and the correctness oracle in tests.
     """
 
+    _ntbl_cache: dict = {}      # (poly, reflect_in) -> native table
+
     def __init__(self, config: Optional[Crc64Config] = None):
         self.config = config or Crc64Config()
-        self._table = self._build_table()
+        self._table = None       # per-byte Python table, built lazily
         self._ntbl = None
         from . import native as _native
         if _native.lib is not None:
-            self._ntbl = _native.lib.crc64_tables(self.config.polynomial,
-                                                  self.config.reflect_in)
+            key = (self.config.polynomial, self.config.reflect_in)
+            tbl = Crc64._ntbl_cache.get(key)
+            if tbl is None:
+                tbl = _native.lib.crc64_tables(*key)
+                Crc64._ntbl_cache[key] = tbl
+            self._ntbl = tbl
 
     def _build_table(self) -> List[int]:
         cfg = self.config
@@ -90,6 +96,8 @@ class Crc64:
 
     def _compute_py(self, data: bytes, c: int) -> int:
         cfg = self.config
+        if self._table is None:
+            self._table = self._build_table()
         t = self._table
         if cfg.reflect_in:
             for byte in data:

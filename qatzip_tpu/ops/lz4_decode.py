@@ -32,11 +32,14 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("max_rounds",))
-def resolve_refs(ref: jnp.ndarray, max_rounds: int = 17) -> jnp.ndarray:
+def resolve_refs(ref: jnp.ndarray, max_rounds: int):
     """Resolve a (B, n) reference plane to output bytes (uint8).
 
     ref[i] < 0: resolved literal, value -(byte+1); ref[i] >= 0: copy from
-    output index ref[i] (always < i, so doubling terminates).
+    output index ref[i] (always < i, so chains are bounded by n and
+    ceil(log2(n)) doubling rounds resolve everything — max_rounds must be
+    derived from n by the caller). Also returns an unresolved flag so the
+    caller can hard-fail instead of emitting garbage.
     """
     def cond(state):
         r, i = state
@@ -49,7 +52,7 @@ def resolve_refs(ref: jnp.ndarray, max_rounds: int = 17) -> jnp.ndarray:
         return jnp.where(r >= 0, chased, r), i + 1
 
     r, _ = jax.lax.while_loop(cond, body, (ref, jnp.int32(0)))
-    return (-r - 1).astype(jnp.uint8)
+    return (-r - 1).astype(jnp.uint8), jnp.any(r >= 0)
 
 
 def decode_blocks_device(payloads: Sequence[bytes],
@@ -76,5 +79,9 @@ def decode_blocks_device(payloads: Sequence[bytes],
         if r < 0 or r > expected_sizes[i]:
             raise ValueError("malformed LZ4 block")
         outlens.append(int(r))
-    out = np.asarray(resolve_refs(jnp.asarray(refs)))
+    rounds = max((n - 1).bit_length() + 1, 1)
+    out, unresolved = resolve_refs(jnp.asarray(refs), max_rounds=rounds)
+    if bool(unresolved):   # cannot happen for refs < n; defense in depth
+        raise ValueError("unresolved LZ4 copy chain")
+    out = np.asarray(out)
     return [out[i, :outlens[i]].tobytes() for i in range(b)]

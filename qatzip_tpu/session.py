@@ -23,7 +23,7 @@ from . import params as P
 from .constants import (
     DataFormat, Direction, SessionState, HuffmanHdr,
     QZ_OK, QZ_PARAMS, QZ_FAIL, QZ_BUF_ERROR, QZ_DATA_ERROR, QZ_NO_HW,
-    QZ_POST_PROCESS_ERROR, QzError,
+    QZ_AUTO_SELECT_BEST, QZ_POST_PROCESS_ERROR, QzError,
 )
 from .runtime import get_runtime, qz_init as _rt_init
 from . import codec as _codec
@@ -209,15 +209,18 @@ class QzSession:
         batchable = [i for i, d in enumerate(datas)
                      if len(d) >= c.input_sz_thrshold]
         if (engine is None or not batchable
+                or self._sw_backup == QZ_AUTO_SELECT_BEST
                 or (self.algorithm == "lz4s"
                     and self.qz_callback is not None)):
-            # per-request path (SW gate / post-process hook semantics)
+            # per-request path (SW gate / AUTO_SELECT_BEST smaller-of-two
+            # comparison / post-process hook semantics)
             return [self.compress(d, with_crc=True) for d in datas]
         # requests under the SW threshold keep their per-request SW route
         # (reference input_sz_thrshold gate, src/qatzip.c:2098-2116)
         results: list = [None] * len(datas)
+        batchable_set = set(batchable)
         for i in range(len(datas)):
-            if i not in set(batchable):
+            if i not in batchable_set:
                 results[i] = self.compress(datas[i], with_crc=True)
         batch_out = _codec.compress_buffers(
             [datas[i] for i in batchable], algorithm=self.algorithm,

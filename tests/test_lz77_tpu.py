@@ -255,3 +255,17 @@ def test_device_lz4_decode_leg(monkeypatch):
     s2 = qz.QzSession()
     s2.setup_lz4()
     assert s2.decompress(blob) == data
+
+
+def test_device_lz4_decode_deep_chain():
+    """Copy chains deeper than 2^17 must resolve (regression: rounds were
+    capped at 17 regardless of block size, silently corrupting output)."""
+    from qatzip_tpu import native
+    if native.lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    from qatzip_tpu.ops.lz4_decode import decode_blocks_device
+    data = b"Z" * 300001                  # dist-1 RLE chain of depth 300K
+    payload = native.lib.lz4_compress_block(data)
+    (out,) = decode_blocks_device([payload], [len(data)])
+    assert out == data
