@@ -60,9 +60,10 @@ class TpuEngine:
         # device-side static-Huffman entropy packing (ops/deflate_pack.py):
         # d2h carries final compressed words instead of tokens and the
         # host only frames members — the QAT-silicon single-call-compress
-        # analog (src/qatzip.c:1445). Static Huffman only; dynamic stays
-        # on the host packer.
-        self._device_pack = os.environ.get("QZTPU_DEVICE_PACK", "0") == "1"
+        # analog (src/qatzip.c:1445). "auto" (default): static-Huffman
+        # sessions compress entirely on device; "1": force for all
+        # deflate (emits static streams); "0": host packer always.
+        self._device_pack = os.environ.get("QZTPU_DEVICE_PACK", "auto")
 
     # -- tokenizer params per algorithm -------------------------------------
     @staticmethod
@@ -176,7 +177,9 @@ class TpuEngine:
         finals = list(final_flags) if final_flags is not None \
             else [True] * len(chunks)
 
-        if (self._device_pack and algorithm == "deflate"
+        use_device_pack = (self._device_pack == "1"
+                           or (self._device_pack == "auto" and huffman_static))
+        if (use_device_pack and algorithm == "deflate"
                 and all(len(c) <= 65536 for c in chunks)):
             return self._compress_device_packed(chunks, finals, level, cnv)
 

@@ -109,3 +109,35 @@ def test_device_pack_matches_host_static_sizes():
     assert zlib.decompressobj(-15).decompress(dev_stream) == row.ljust(n,
                                                                        b"\0")
     assert abs(len(dev_stream) - len(host_stream)) <= 16
+
+
+def test_static_sessions_route_to_device_pack(monkeypatch):
+    """huffman_hdr=STATIC sessions compress through the full-device
+    packer by default (QZTPU_DEVICE_PACK=auto) and still round-trip
+    byte-exact through stock zlib."""
+    import zlib as _z
+    monkeypatch.delenv("QZTPU_DEVICE_PACK", raising=False)
+    import qatzip_tpu as qz
+    from qatzip_tpu import params as P
+    from qatzip_tpu.constants import HuffmanHdr
+    from qatzip_tpu.runtime import get_runtime
+    if not get_runtime().hw_available:
+        pytest.skip("no engine backend")
+    p = P.get_defaults("deflate")
+    p.huffman_hdr = HuffmanHdr.STATIC_HDR
+    s = qz.QzSession()
+    s.setup_deflate(p)
+    data = (b"static-session device pack " * 4000
+            + os.urandom(3000))
+    out = s.compress(data)
+    pieces, pos = [], 0
+    while pos < len(out):
+        do = _z.decompressobj(31)
+        pieces.append(do.decompress(out[pos:]) + do.flush())
+        pos = len(out) - len(do.unused_data)
+        if not do.unused_data:
+            break
+    assert b"".join(pieces) == data
+    s2 = qz.QzSession()
+    s2.setup_deflate()
+    assert s2.decompress(out) == data
