@@ -193,24 +193,28 @@ def main():
     rt_obj = get_runtime()
     on_device = sess._engine is not None and rt_obj.hw_available
 
-    # e2e through the full-device packer (static-Huffman session): d2h
-    # carries final compressed words instead of token streams
+    # e2e through the full-device DYNAMIC packer (per-chunk trees built
+    # from device histograms): d2h carries final compressed words instead
+    # of token streams — the QAT single-call-compress analog
     e2e_pack = None
+    pack_ratio = None
     if on_device:
-        from qatzip_tpu.constants import HuffmanHdr
-        ps = P.get_defaults("deflate")
-        ps.huffman_hdr = HuffmanHdr.STATIC_HDR
-        s_pack = QzSession()
-        s_pack.setup_deflate(ps)
-        s_pack.compress(corpus[: 8 << 20])   # warm the pack graphs
-        best_p = float("inf")
-        out_p = b""
-        for _ in range(max(2, iters - 1)):
-            t0 = time.perf_counter()
-            out_p = s_pack.compress(corpus)
-            best_p = min(best_p, time.perf_counter() - t0)
-        assert sess.decompress(out_p) == corpus
-        e2e_pack = n / best_p / 1e9
+        os.environ["QZTPU_DEVICE_PACK"] = "1"
+        try:
+            s_pack = QzSession()
+            s_pack.setup_deflate(P.get_defaults("deflate"))
+            s_pack.compress(corpus[: 8 << 20])   # warm the pack graphs
+            best_p = float("inf")
+            out_p = b""
+            for _ in range(max(2, iters - 1)):
+                t0 = time.perf_counter()
+                out_p = s_pack.compress(corpus)
+                best_p = min(best_p, time.perf_counter() - t0)
+            assert sess.decompress(out_p) == corpus
+            e2e_pack = n / best_p / 1e9
+            pack_ratio = n / len(out_p)
+        finally:
+            os.environ.pop("QZTPU_DEVICE_PACK", None)
     d2h_mbps = _probe_d2h_mbps() if on_device else None
     relay_limited = d2h_mbps is not None and d2h_mbps < 200.0
     dev_gbps = (_device_pipeline_gbps(corpus, max(iters, 3))
@@ -235,6 +239,8 @@ def main():
         "e2e_compress_gbps": round(best / 1e9, 4),
         "e2e_device_pack_gbps": (round(e2e_pack, 4)
                                  if e2e_pack is not None else None),
+        "device_pack_ratio": (round(pack_ratio, 4)
+                              if pack_ratio is not None else None),
         "decompress_gbps": round(n / ddt / 1e9, 4),
         "device_pipeline_gbps": round(dev_gbps, 4) if dev_gbps else None,
         "device_pack_gbps": (round(dev_pack_gbps, 4)

@@ -1004,6 +1004,67 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
 // (last 5 bytes literal; no match starting within the last 12 bytes) by
 // demoting/trimming offending matches to literals. Returns bytes written,
 // 0 when dst is too small.
+// Build a per-chunk dynamic-Huffman plan from a device histogram
+// (the host leg of the two-pass on-device dynamic pack,
+// ops/deflate_pack.py): lfreq[286] are lit/len counts (caller adds the
+// EOB), dfreq[30] are distance-symbol counts. BOTH trees are optimal
+// length-limited-`limit` (typically 12 — the device splits each match
+// into a length part at p and a distance part at p+1, so every emission
+// fits one 32-bit word). Fills lit_pack[286]/dist_pack[30] = bit-reversed
+// code | len<<12 and writes the complete block-header bitstream
+// (BFINAL=0, BTYPE=10, HLIT/HDIST/HCLEN, code-length code, RLE'd
+// lengths) into hdr_dst. Returns the header bit length, or -1 on error.
+int64_t qz_dyn_plan(const uint32_t* lfreq, const uint32_t* dfreq,
+                    int32_t limit, uint16_t* lit_pack, uint16_t* dist_pack,
+                    uint8_t* hdr_dst, int64_t hdr_cap) {
+  if (limit < 5 || limit > 12) return -1;
+  uint8_t llen[286];
+  uint16_t lcode[286];
+  huff_lengths(lfreq, 286, limit, llen);
+  canonical_codes(llen, 286, lcode);
+  for (int s = 0; s < 286; ++s)
+    lit_pack[s] = (uint16_t)(lcode[s] | ((uint16_t)llen[s] << 12));
+  uint8_t dlen[30];
+  uint16_t dcode[30];
+  huff_lengths(dfreq, 30, limit, dlen);
+  // a dynamic block needs >=1 distance code even if no matches occur
+  bool any_d = false;
+  for (int d = 0; d < 30; ++d) any_d |= dlen[d] != 0;
+  if (!any_d) dlen[0] = 1;
+  canonical_codes(dlen, 30, dcode);
+  for (int d = 0; d < 30; ++d)
+    dist_pack[d] = (uint16_t)(dcode[d] | ((uint16_t)dlen[d] << 12));
+  int hdist = 30;
+  while (hdist > 1 && dlen[hdist - 1] == 0) --hdist;
+  uint8_t all[316];
+  std::memcpy(all, llen, 286);
+  std::memcpy(all + 286, dlen, (size_t)hdist);
+  CLOp ops[330];
+  int nops = rle_code_lengths(all, 286 + hdist, ops);
+  uint32_t clfreq[19] = {0};
+  for (int i = 0; i < nops; ++i) clfreq[ops[i].sym]++;
+  uint8_t cllen[19];
+  uint16_t clcode[19];
+  huff_lengths(clfreq, 19, 7, cllen);
+  canonical_codes(cllen, 19, clcode);
+  int hclen = 19;
+  while (hclen > 4 && cllen[CL_ORDER[hclen - 1]] == 0) --hclen;
+  std::memset(hdr_dst, 0, (size_t)hdr_cap);
+  BitWriter bw{hdr_dst, hdr_cap, 0, false};
+  bw.put(0u, 1);            // BFINAL=0 (host flips for final chunks)
+  bw.put(2u, 2);            // BTYPE=10 dynamic
+  bw.put(286 - 257, 5);
+  bw.put((uint32_t)(hdist - 1), 5);
+  bw.put((uint32_t)(hclen - 4), 4);
+  for (int i = 0; i < hclen; ++i) bw.put(cllen[CL_ORDER[i]], 3);
+  for (int i = 0; i < nops; ++i) {
+    bw.put(clcode[ops[i].sym], cllen[ops[i].sym]);
+    if (ops[i].extra_bits) bw.put(ops[i].extra, ops[i].extra_bits);
+  }
+  if (bw.overflow) return -1;
+  return bw.bitpos;
+}
+
 int64_t qz_lz4_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
                     int64_t ntok, uint8_t* dst, int64_t cap) {
   uint8_t* op = dst;

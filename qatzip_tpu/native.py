@@ -106,6 +106,10 @@ class _NativeLib:
         L.qz_lz4_ref_block.restype = ctypes.c_int64
         L.qz_lz4_ref_block.argtypes = [_u8p, ctypes.c_int64, _i32p,
                                        ctypes.c_int64]
+        _u16p = ctypes.POINTER(ctypes.c_uint16)
+        L.qz_dyn_plan.restype = ctypes.c_int64
+        L.qz_dyn_plan.argtypes = [_u32p, _u32p, ctypes.c_int32, _u16p,
+                                  _u16p, _u8p, ctypes.c_int64]
         L.qz_crc32.restype = ctypes.c_uint32
         L.qz_crc32.argtypes = [_u8p, ctypes.c_int64, ctypes.c_uint32]
         L.qz_inflate_batch.restype = None
@@ -139,6 +143,28 @@ class _NativeLib:
             poly & 0xFFFFFFFFFFFFFFFF, 1 if reflected else 0,
             tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
         return tbl
+
+    def dyn_plan(self, lfreq: np.ndarray, dfreq: np.ndarray,
+                 limit: int = 12):
+        """Build a dynamic-Huffman chunk plan from (286,) lit/len and
+        (30,) distance histograms (both trees optimal, length-limited).
+
+        Returns (lit_pack (286,) u16 = revcode|len<<12, dist_pack (30,)
+        u16, header_bytes, header_nbits). Caller includes the EOB in
+        lfreq[256]."""
+        lf = np.ascontiguousarray(lfreq, np.uint32)
+        df = np.ascontiguousarray(dfreq, np.uint32)
+        lit_pack = np.empty(286, np.uint16)
+        dist_pack = np.empty(30, np.uint16)
+        hdr = np.zeros(512, np.uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        r = self._lib.qz_dyn_plan(
+            lf.ctypes.data_as(_u32p), df.ctypes.data_as(_u32p), limit,
+            lit_pack.ctypes.data_as(u16p), dist_pack.ctypes.data_as(u16p),
+            self._as_u8p(hdr), len(hdr))
+        if r < 0:
+            raise RuntimeError("dyn plan failed")
+        return lit_pack, dist_pack, hdr[: (int(r) + 7) // 8].tobytes(), int(r)
 
     def inflate_batch(self, data, in_offs, in_lens, out_sizes,
                       nthreads: int = 0):

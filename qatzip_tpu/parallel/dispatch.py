@@ -57,13 +57,15 @@ class TpuEngine:
         # exact vs zlib, opt-in — on relay-limited dev tunnels host crc is
         # cheaper than the extra device program
         self._device_crc = os.environ.get("QZTPU_DEVICE_CRC", "0") == "1"
-        # device-side static-Huffman entropy packing (ops/deflate_pack.py):
-        # d2h carries final compressed words instead of tokens and the
-        # host only frames members — the QAT-silicon single-call-compress
-        # analog (src/qatzip.c:1445). "auto" (default): static-Huffman
-        # sessions compress entirely on device; "1": force for all
-        # deflate (emits static streams); "0": host packer always.
-        self._device_pack = os.environ.get("QZTPU_DEVICE_PACK", "auto")
+        # QZTPU_DEVICE_PACK — device-side entropy packing
+        # (ops/deflate_pack.py): d2h carries final compressed words
+        # instead of tokens and the host only frames members — the
+        # QAT-silicon single-call-compress analog (src/qatzip.c:1445).
+        # "auto" (default): static-Huffman sessions compress entirely on
+        # device; "1": force for ALL deflate sessions (dynamic sessions
+        # use the two-pass per-chunk-tree dynamic device packer, ratio
+        # parity with the host packer); "0": host packer always.
+        # Read per call so benchmarks/tests can flip it on a live engine.
 
     # -- tokenizer params per algorithm -------------------------------------
     @staticmethod
@@ -177,11 +179,13 @@ class TpuEngine:
         finals = list(final_flags) if final_flags is not None \
             else [True] * len(chunks)
 
-        use_device_pack = (self._device_pack == "1"
-                           or (self._device_pack == "auto" and huffman_static))
+        device_pack = os.environ.get("QZTPU_DEVICE_PACK", "auto")
+        use_device_pack = (device_pack == "1"
+                           or (device_pack == "auto" and huffman_static))
         if (use_device_pack and algorithm == "deflate"
                 and all(len(c) <= 65536 for c in chunks)):
-            return self._compress_device_packed(chunks, finals, level, cnv)
+            return self._compress_device_packed(chunks, finals, level, cnv,
+                                                huffman_static)
 
         # The device tokenizer's position field caps a row at 64 KiB;
         # sessions may use hw_buff_sz up to 512 KiB (params validation),
@@ -234,13 +238,23 @@ class TpuEngine:
             results[gi] = (payload, crc)
         return results  # type: ignore[return-value]
 
-    def _compress_device_packed(self, chunks, finals, level, cnv):
+    def _compress_device_packed(self, chunks, finals, level, cnv,
+                                huffman_static=True):
         """Full-device deflate: tokenize AND entropy-pack on device; d2h
-        carries final bitstream words (bucketed to the batch max). Host
-        work per chunk: BFINAL flip / full-flush sync, stored-block guard
-        on expansion, crc32."""
+        carries final bitstream words (bucketed to the batch max). Static
+        sessions use the fixed-code packer; dynamic sessions run the
+        two-pass path (device histograms → host tree/header build
+        (qz_dyn_plan) → device sort-merge lookup + pack). Host work per
+        chunk: header/EOB OR-in, BFINAL flip / full-flush sync,
+        stored-block guard on expansion, crc32."""
         import jax.numpy as jnp
-        from ..ops.deflate_pack import deflate_pack_device, finish_stream
+        from ..ops.deflate_pack import (deflate_pack_device, finish_stream,
+                                        deflate_analyze_hist,
+                                        deflate_pack_dynamic,
+                                        finish_stream_dynamic)
+        from .. import native as _native
+
+        dynamic = not huffman_static and _native.lib is not None
 
         n = 1
         for c in chunks:
@@ -258,18 +272,44 @@ class TpuEngine:
                 a = np.frombuffer(c, np.uint8)
                 data[i, :len(a)] = a
                 lengths[i] = len(a)
-            words, nbits = deflate_pack_device(
-                jnp.asarray(data), jnp.asarray(lengths), n=n)
-            pending.append((start, len(tile), words, nbits))
+            dd, ll = jnp.asarray(data), jnp.asarray(lengths)
+            if dynamic:
+                hist, ml, dist, taken, lit = deflate_analyze_hist(dd, ll,
+                                                                  n=n)
+                hist_np = np.asarray(hist)        # (b, 316) — tiny d2h
+                packs = np.zeros((b, 286), np.uint16)
+                dpacks = np.zeros((b, 30), np.uint16)
+                hdrs = [b""] * b
+                hbits = np.zeros(b, np.int32)
+                for i in range(len(tile)):
+                    lf = hist_np[i, :286].astype(np.uint32)
+                    lf[256] += 1                  # the EOB
+                    df = hist_np[i, 286:].astype(np.uint32)
+                    packs[i], dpacks[i], hdrs[i], hbits[i] = \
+                        _native.lib.dyn_plan(lf, df)
+                words, nbits = deflate_pack_dynamic(
+                    dd, ml, dist, taken, lit,
+                    jnp.asarray(packs.astype(np.uint32)),
+                    jnp.asarray(dpacks.astype(np.uint32)),
+                    jnp.asarray(hbits), n=n)
+                pending.append((start, len(tile), words, nbits,
+                                hdrs, packs))
+            else:
+                words, nbits = deflate_pack_device(dd, ll, n=n)
+                pending.append((start, len(tile), words, nbits, None, None))
 
         results: List[Optional[Tuple[bytes, int]]] = [None] * len(chunks)
         from ..engines import host_pool
         pool = host_pool()
 
         def finish_one(args):
-            gi, words_row, bits = args
+            gi, words_row, bits, hdr, eob_pack = args
             chunk = chunks[gi]
-            payload = finish_stream(words_row, bits, final=finals[gi])
+            if hdr is not None:
+                payload = finish_stream_dynamic(words_row, bits, hdr,
+                                                eob_pack, final=finals[gi])
+            else:
+                payload = finish_stream(words_row, bits, final=finals[gi])
             # stored-block guard: never ship an expanded static stream
             # (the CnV-failure stored fallback, src/qatzip.c:1774-1806)
             if len(payload) >= len(chunk) + 8 and chunk:
@@ -289,17 +329,21 @@ class TpuEngine:
             return gi, payload, zlib.crc32(chunk) & 0xFFFFFFFF
 
         futures = []
-        for start, nt, words, nbits in pending:
+        for start, nt, words, nbits, hdrs, packs in pending:
             nbits_np = np.asarray(nbits)
-            maxw = int(nbits_np.max() + 31) // 32 + 1 if nt else 1
+            # dynamic nbits excludes the <=15-bit EOB; pad the fetch
+            maxw = int(nbits_np.max() + 15 + 31) // 32 + 1 if nt else 1
             k = 256
             while k < maxw:
                 k <<= 1
             k = min(k, words.shape[1])
             words_np = np.asarray(words[:, :k])   # bucketed d2h slice
             for i in range(nt):
+                hdr = hdrs[i] if hdrs is not None else None
+                eob = int(packs[i][256]) if packs is not None else 0
                 futures.append(pool.submit(
-                    finish_one, (start + i, words_np[i], int(nbits_np[i]))))
+                    finish_one, (start + i, words_np[i], int(nbits_np[i]),
+                                 hdr, eob)))
         for f in futures:
             gi, payload, crc = f.result()
             results[gi] = (payload, crc)

@@ -141,3 +141,87 @@ def test_static_sessions_route_to_device_pack(monkeypatch):
     s2 = qz.QzSession()
     s2.setup_deflate()
     assert s2.decompress(out) == data
+
+
+def _dyn_pack_rows(rows, n):
+    from qatzip_tpu import native
+    from qatzip_tpu.ops.deflate_pack import (deflate_analyze_hist,
+                                             deflate_pack_dynamic,
+                                             finish_stream_dynamic)
+    b = len(rows)
+    data = np.zeros((b, n), np.uint8)
+    lens = np.zeros(b, np.int32)
+    for i, r in enumerate(rows):
+        a = np.frombuffer(r, np.uint8)
+        data[i, : len(a)] = a
+        lens[i] = len(a)
+    hist, ml, dist, taken, lit = deflate_analyze_hist(
+        jnp.asarray(data), jnp.asarray(lens), n=n)
+    hist = np.asarray(hist)
+    packs = np.zeros((b, 286), np.uint16)
+    dpacks = np.zeros((b, 30), np.uint16)
+    hdrs, hbits = [], np.zeros(b, np.int32)
+    for i in range(b):
+        lf = hist[i, :286].astype(np.uint32)
+        lf[256] += 1
+        packs[i], dpacks[i], hb, hbits[i] = native.lib.dyn_plan(
+            lf, hist[i, 286:].astype(np.uint32))
+        hdrs.append(hb)
+    words, nbits = deflate_pack_dynamic(
+        jnp.asarray(data), ml, dist, taken, lit,
+        jnp.asarray(packs.astype(np.uint32)),
+        jnp.asarray(dpacks.astype(np.uint32)), jnp.asarray(hbits), n=n)
+    words, nbits = np.asarray(words), np.asarray(nbits)
+    return [finish_stream_dynamic(words[i], int(nbits[i]), hdrs[i],
+                                  int(packs[i][256]), final=True)
+            for i in range(b)]
+
+
+def test_dynamic_device_pack_decodes_with_stock_zlib():
+    from qatzip_tpu import native
+    if native.lib is None:
+        pytest.skip("native lib unavailable")
+    n = 4096
+    rows = [c[:n] for c in CORPORA]
+    # DNA-like data is where static loses 4x — the dynamic tree must win
+    rng = np.random.default_rng(1)
+    rows.append(rng.choice(np.frombuffer(b"ACGT", np.uint8), n).tobytes())
+    streams = _dyn_pack_rows(rows, n)
+    for row, stream in zip(rows, streams):
+        assert zlib.decompressobj(-15).decompress(stream) == row
+
+
+def test_dynamic_device_pack_far_distance_32bit_emission():
+    """Regression: dist >= 16385 plus a long length code produces a full
+    32-bit emission; as int32 its straddle was sign-extended into garbage
+    (first seen as 'invalid distance too far back' at 32K chunks)."""
+    from qatzip_tpu import native
+    if native.lib is None:
+        pytest.skip("native lib unavailable")
+    n = 32768
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, n, dtype=np.uint8)
+    base[20000:20220] = base[0:220]     # len-220 match at dist 20000
+    (stream,) = _dyn_pack_rows([base.tobytes()], n)
+    assert zlib.decompressobj(-15).decompress(stream) == base.tobytes()
+
+
+def test_dynamic_device_pack_64k_mixed():
+    from qatzip_tpu import native
+    if native.lib is None:
+        pytest.skip("native lib unavailable")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import make_corpus
+    n = 65536
+    blob = make_corpus(1)
+    rows = [blob[i * n:(i + 1) * n] for i in range(6)]
+    streams = _dyn_pack_rows(rows, n)
+    dyn_total = 0
+    for row, stream in zip(rows, streams):
+        assert zlib.decompressobj(-15).decompress(stream) == row
+        dyn_total += len(stream)
+    # dynamic should be in the ballpark of zlib L1 (static loses ~46%
+    # on this mix — the whole point of the dynamic device path)
+    zl = sum(len(zlib.compress(r, 1)) for r in rows)
+    assert dyn_total < zl * 1.05
