@@ -51,6 +51,41 @@ def make_corpus(target_mb: int = 48) -> bytes:
     return blob[: target_mb << 20]
 
 
+def _time_decompress_subprocess(blob: bytes, want_len: int, iters: int):
+    """Best decompress seconds, measured in a fresh SW-only process."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".qzb", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    prog = (
+        "import time,sys\n"
+        "import qatzip_tpu as qz\n"
+        "blob=open(sys.argv[1],'rb').read()\n"
+        "s=qz.QzSession(); s.setup_deflate()\n"
+        "best=1e9\n"
+        f"for _ in range({iters}):\n"
+        "    t0=time.perf_counter(); out=s.decompress(blob)\n"
+        "    best=min(best,time.perf_counter()-t0)\n"
+        f"assert len(out)=={want_len}\n"
+        "print('DDT', best)\n")
+    env = dict(os.environ, QZTPU_FORCE_SW="1", JAX_PLATFORMS="cpu")
+    try:
+        r = subprocess.run([sys.executable, "-c", prog, path],
+                           capture_output=True, text=True, timeout=600,
+                           env=env, cwd=os.path.dirname(
+                               os.path.abspath(__file__)))
+        for line in r.stdout.splitlines():
+            if line.startswith("DDT "):
+                return float(line.split()[1])
+    except Exception:  # noqa: BLE001
+        pass
+    finally:
+        os.unlink(path)
+    return None
+
+
 def _probe_d2h_mbps() -> float:
     """Measure device→host bandwidth on incompressible data. Dev tunnels
     (axon relay) can be orders of magnitude below a real host's PCIe."""
@@ -173,14 +208,18 @@ def main():
     rt = b"".join(pieces)
     assert rt == corpus, "round-trip mismatch"
 
-    # decompress throughput (framework path) — best of a few runs, the
-    # host-CPU side is sensitive to transient load
-    ddt = float("inf")
-    for _ in range(max(2, iters - 1)):
-        t0 = time.perf_counter()
-        dec = sess.decompress(out)
-        ddt = min(ddt, time.perf_counter() - t0)
-    assert dec == corpus
+    # decompress throughput (framework path). Correctness in-process;
+    # timing in a clean subprocess — the axon client keeps polling
+    # threads alive that steal ~a core from the host-side decode.
+    assert sess.decompress(out) == corpus
+    ddt = _time_decompress_subprocess(out, len(corpus),
+                                      max(2, iters - 1))
+    if ddt is None:   # subprocess failed — fall back to in-process timing
+        ddt = float("inf")
+        for _ in range(max(2, iters - 1)):
+            t0 = time.perf_counter()
+            sess.decompress(out)
+            ddt = min(ddt, time.perf_counter() - t0)
 
     # baseline: single-thread zlib L1 on a slice, scaled
     slice_mb = 16 << 20
