@@ -238,11 +238,15 @@ def main():
     e2e_pack = None
     pack_ratio = None
     if on_device:
+        prev_pack_env = os.environ.get("QZTPU_DEVICE_PACK")
         os.environ["QZTPU_DEVICE_PACK"] = "1"
         try:
             s_pack = QzSession()
             s_pack.setup_deflate(P.get_defaults("deflate"))
-            s_pack.compress(corpus[: 8 << 20])   # warm the pack graphs
+            # warm with a full 256-chunk tile — the shape the timed loop
+            # actually runs (an 8MB warm would compile the b=128 bucket
+            # and leave the b=256 graphs to compile inside the timing)
+            s_pack.compress(corpus[: 16 << 20])
             best_p = float("inf")
             out_p = b""
             for _ in range(max(2, iters - 1)):
@@ -253,7 +257,10 @@ def main():
             e2e_pack = n / best_p / 1e9
             pack_ratio = n / len(out_p)
         finally:
-            os.environ.pop("QZTPU_DEVICE_PACK", None)
+            if prev_pack_env is None:
+                os.environ.pop("QZTPU_DEVICE_PACK", None)
+            else:
+                os.environ["QZTPU_DEVICE_PACK"] = prev_pack_env
     d2h_mbps = _probe_d2h_mbps() if on_device else None
     relay_limited = d2h_mbps is not None and d2h_mbps < 200.0
     dev_gbps = (_device_pipeline_gbps(corpus, max(iters, 3))

@@ -1017,7 +1017,15 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
 int64_t qz_dyn_plan(const uint32_t* lfreq, const uint32_t* dfreq,
                     int32_t limit, uint16_t* lit_pack, uint16_t* dist_pack,
                     uint8_t* hdr_dst, int64_t hdr_cap) {
-  if (limit < 5 || limit > 12) return -1;
+  if (limit < 1 || limit > 12) return -1;
+  // a length-limited code is only feasible when used symbols <= 2^limit
+  // (huff_lengths would silently build an over-subscribed tree otherwise)
+  int used = 0;
+  for (int s = 0; s < 286; ++s) used += lfreq[s] != 0;
+  if (used > (1 << limit)) return -1;
+  int dused = 0;
+  for (int d = 0; d < 30; ++d) dused += dfreq[d] != 0;
+  if (dused > (1 << limit)) return -1;
   uint8_t llen[286];
   uint16_t lcode[286];
   huff_lengths(lfreq, 286, limit, llen);

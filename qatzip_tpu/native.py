@@ -154,6 +154,9 @@ class _NativeLib:
         lfreq[256]."""
         lf = np.ascontiguousarray(lfreq, np.uint32)
         df = np.ascontiguousarray(dfreq, np.uint32)
+        if lf.shape != (286,) or df.shape != (30,):
+            raise ValueError("dyn_plan expects (286,) lit/len and (30,) "
+                             "dist histograms")
         lit_pack = np.empty(286, np.uint16)
         dist_pack = np.empty(30, np.uint16)
         hdr = np.zeros(512, np.uint8)

@@ -227,15 +227,15 @@ def _group_pack_assemble(bits, nbits, off, b: int, n: int, max_words: int,
 #
 # Static Huffman costs ~46% ratio on mixed corpora (DNA/structured data
 # want short literal codes). The dynamic path keeps entropy coding on
-# device: pass 1 computes per-chunk lit/len histograms (fused
-# compare-reduce, no gathers); the host builds length-limited trees and
-# the block-header bitstream (csrc qz_dyn_plan — limit 9 so a match
-# emission still fits one u32 word); pass 2 resolves per-position codes
-# from the per-chunk tables with a SORT-MERGE (merge 286 table entries
-# with the symbol stream by key, forward-fill with a running max, unsort)
-# — the TPU-native answer to "per-row table gathers serialize".
-# The distance tree is the fixed complete {4,4,5,...,5} layout whose
-# canonical codes are pure arithmetic on device.
+# device: pass 1 computes per-chunk symbol histograms (fused
+# compare-reduce, no gathers); the host builds BOTH optimal
+# length-limited-12 trees and the block-header bitstream (qz_dyn_plan);
+# pass 2 resolves per-position codes — a SORT-MERGE for the 286-entry
+# lit/len table (the TPU-native answer to "per-row table gathers
+# serialize") and a fused compare-select for the 30-entry distance
+# table. Each match emits its LENGTH part at p and its DISTANCE part at
+# p+1 (always covered, min match 4), so every emission fits one u32 word
+# even with 12-bit codes.
 # ---------------------------------------------------------------------------
 
 DYN_LIMIT = 12     # code-length limit for both trees

@@ -182,7 +182,10 @@ class TpuEngine:
         device_pack = os.environ.get("QZTPU_DEVICE_PACK", "auto")
         use_device_pack = (device_pack == "1"
                            or (device_pack == "auto" and huffman_static))
+        # the device-packed path is single-chip today; multi-chip engines
+        # keep the mesh-sharded token path (sharded device pack = future)
         if (use_device_pack and algorithm == "deflate"
+                and len(self.devices) == 1
                 and all(len(c) <= 65536 for c in chunks)):
             return self._compress_device_packed(chunks, finals, level, cnv,
                                                 huffman_static)
@@ -254,7 +257,9 @@ class TpuEngine:
                                         finish_stream_dynamic)
         from .. import native as _native
 
-        dynamic = not huffman_static and _native.lib is not None
+        # native.lib is guaranteed here (compress_chunks routed to the
+        # host engine at the top when it is absent)
+        dynamic = not huffman_static
 
         n = 1
         for c in chunks:
