@@ -60,7 +60,7 @@ def _time_decompress_subprocess(blob: bytes, want_len: int, iters: int):
         f.write(blob)
         path = f.name
     prog = (
-        "import time,sys\n"
+        "import time,sys,zlib\n"
         "import qatzip_tpu as qz\n"
         "blob=open(sys.argv[1],'rb').read()\n"
         "s=qz.QzSession(); s.setup_deflate()\n"
@@ -69,21 +69,32 @@ def _time_decompress_subprocess(blob: bytes, want_len: int, iters: int):
         "    t0=time.perf_counter(); out=s.decompress(blob)\n"
         "    best=min(best,time.perf_counter()-t0)\n"
         f"assert len(out)=={want_len}\n"
-        "print('DDT', best)\n")
+        "print('DDT', best)\n"
+        # single-thread zlib L1 baseline on a 16MB slice, clean process
+        "sl=out[:16<<20]\n"
+        "t0=time.perf_counter(); zb=zlib.compress(sl,1)\n"
+        "zdt=(time.perf_counter()-t0)*(len(out)/len(sl))\n"
+        "print('ZDT', zdt, len(zb)*(len(out)/len(sl)))\n")
     env = dict(os.environ, QZTPU_FORCE_SW="1", JAX_PLATFORMS="cpu")
     try:
         r = subprocess.run([sys.executable, "-c", prog, path],
                            capture_output=True, text=True, timeout=600,
                            env=env, cwd=os.path.dirname(
                                os.path.abspath(__file__)))
+        ddt = zdt = zsize = None
         for line in r.stdout.splitlines():
             if line.startswith("DDT "):
-                return float(line.split()[1])
+                ddt = float(line.split()[1])
+            elif line.startswith("ZDT "):
+                zdt = float(line.split()[1])
+                zsize = float(line.split()[2])
+        if ddt is not None:
+            return ddt, zdt, zsize
     except Exception:  # noqa: BLE001
         pass
     finally:
         os.unlink(path)
-    return None
+    return None, None, None
 
 
 def _probe_d2h_mbps() -> float:
@@ -212,8 +223,8 @@ def main():
     # timing in a clean subprocess — the axon client keeps polling
     # threads alive that steal ~a core from the host-side decode.
     assert sess.decompress(out) == corpus
-    ddt = _time_decompress_subprocess(out, len(corpus),
-                                      max(2, iters - 1))
+    ddt, sub_zdt, sub_zsize = _time_decompress_subprocess(
+        out, len(corpus), max(2, iters - 1))
     if ddt is None:   # subprocess failed — fall back to in-process timing
         ddt = float("inf")
         for _ in range(max(2, iters - 1)):
@@ -221,12 +232,19 @@ def main():
             sess.decompress(out)
             ddt = min(ddt, time.perf_counter() - t0)
 
-    # baseline: single-thread zlib L1 on a slice, scaled
-    slice_mb = 16 << 20
-    t0 = time.perf_counter()
-    zout = zlib.compress(corpus[:slice_mb], 1)
-    zdt = (time.perf_counter() - t0) * (n / slice_mb)
-    z_ratio = slice_mb / len(zout)
+    # baseline: single-thread zlib L1 on a slice, scaled — measured in
+    # the clean subprocess when available (the axon client's polling
+    # threads depress in-process host timings and would inflate
+    # vs_baseline), else in-process
+    if sub_zdt is not None:
+        zdt = sub_zdt
+        z_ratio = n / sub_zsize
+    else:
+        slice_mb = 16 << 20
+        t0 = time.perf_counter()
+        zout = zlib.compress(corpus[:slice_mb], 1)
+        zdt = (time.perf_counter() - t0) * (n / slice_mb)
+        z_ratio = slice_mb / len(zout)
     base_gbps = n / zdt
 
     rt_obj = get_runtime()
