@@ -182,10 +182,11 @@ class TpuEngine:
         device_pack = os.environ.get("QZTPU_DEVICE_PACK", "auto")
         use_device_pack = (device_pack == "1"
                            or (device_pack == "auto" and huffman_static))
-        # the device-packed path is single-chip today; multi-chip engines
-        # keep the mesh-sharded token path (sharded device pack = future)
+        # static packs shard over the dp mesh (rows are independent); the
+        # dynamic two-pass path is single-chip today — multi-chip dynamic
+        # sessions keep the mesh-sharded token path
         if (use_device_pack and algorithm == "deflate"
-                and len(self.devices) == 1
+                and (huffman_static or len(self.devices) == 1)
                 and all(len(c) <= 65536 for c in chunks)):
             return self._compress_device_packed(chunks, finals, level, cnv,
                                                 huffman_static)
@@ -267,16 +268,28 @@ class TpuEngine:
                 n <<= 1
         n = max(n, 256)
 
+        ndev = len(self.devices)
+        mesh = None
+        if ndev > 1 and not dynamic:
+            from .mesh import make_mesh, mesh_pack_device
+            mesh = make_mesh(self.devices)
+
         pending = []
         for start in range(0, len(chunks), TILE_B):
             tile = chunks[start:start + TILE_B]
             b = _bucket(len(tile))
+            if mesh is not None and b % ndev:
+                b = ((b + ndev - 1) // ndev) * ndev  # divisible batch
             data = np.zeros((b, n), np.uint8)
             lengths = np.zeros(b, np.int32)
             for i, c in enumerate(tile):
                 a = np.frombuffer(c, np.uint8)
                 data[i, :len(a)] = a
                 lengths[i] = len(a)
+            if mesh is not None:
+                words, nbits = mesh_pack_device(mesh, data, lengths, n=n)
+                pending.append((start, len(tile), words, nbits, None, None))
+                continue
             dd, ll = jnp.asarray(data), jnp.asarray(lengths)
             if dynamic:
                 hist, ml, dist, taken, lit = deflate_analyze_hist(dd, ll,

@@ -64,6 +64,38 @@ def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
                    out_shardings=(data_s, ntok_s, None))
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_pack(mesh_key, n: int):
+    """Compile the mesh-sharded full-device deflate pack (static codes):
+    rows are independent, so the batch axis shards over ``dp`` with no
+    collectives — the multi-chip leg of the single-call-compress path."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_key.mesh
+    from ..ops.deflate_pack import deflate_pack_device
+
+    data_s = NamedSharding(mesh, P("dp", None))
+    len_s = NamedSharding(mesh, P("dp"))
+
+    def step(data, lengths):
+        return deflate_pack_device(data, lengths, n=n)
+
+    return jax.jit(step, in_shardings=(data_s, len_s),
+                   out_shardings=(data_s, len_s))
+
+
+def mesh_pack_device(mesh, data: np.ndarray, lengths: np.ndarray, *,
+                     n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static-Huffman device pack sharded over the ``dp`` axis. The
+    batch's leading dim must be divisible by the mesh size."""
+    import jax.numpy as jnp
+
+    step = _sharded_pack(_MeshKey(mesh), n)
+    words, nbits = step(jnp.asarray(data), jnp.asarray(lengths))
+    return words, nbits
+
+
 class _MeshKey:
     """Hashable wrapper so lru_cache can key on a Mesh."""
 
