@@ -134,13 +134,17 @@ def _parse_scan(is_match, ml, seg: int, nseg: int, b: int):
 
 
 def _analyze(data, lengths, *, n, min_match, max_match, window,
-             parse_seg, ctx_words, probes):
+             parse_seg, ctx_words, probes, lz4_rules: bool = False):
     """Match finding + greedy parse — the shared device analysis stages.
 
     Returns dense (B, n) planes: iota, ml, dist, taken (match emitted at
-    p), lit (p emits a literal), valid (p < row length). Consumed by both
-    the token path (lz77_tokenize) and the on-device static-Huffman
-    bit-packer (ops/deflate_pack.py).
+    p), lit (p emits a literal), valid (p < row length). Consumed by the
+    token path (lz77_tokenize) and the on-device entropy packers
+    (ops/deflate_pack.py, ops/lz4_pack.py).
+
+    ``lz4_rules`` applies the LZ4 block end rules before the parse (last
+    5 bytes literal, no match starting within the last 12 — the demotions
+    qz_lz4_pack does at the token level, csrc).
     """
     assert n <= 65536, "position field is 16 bits"
     ctx_bytes = ctx_words * 4
@@ -249,6 +253,15 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     ml = jnp.minimum(ml, seg_rem)
     is_match = is_match & (ml >= min_match)
     ml = jnp.where(is_match, ml, 0)
+
+    if lz4_rules:
+        # LZ4 block end rules (qz_lz4_pack's demotions, csrc): no match
+        # may start within the last 12 bytes, and the last 5 bytes are
+        # always literals
+        ml = jnp.minimum(ml, lengths[:, None] - 5 - iota)
+        is_match = (is_match & (iota <= lengths[:, None] - 12)
+                    & (ml >= min_match))
+        ml = jnp.where(is_match, ml, 0)
 
     taken, lit = _parse_scan(is_match, ml, seg, nseg, b)
     valid = iota < lengths[:, None]

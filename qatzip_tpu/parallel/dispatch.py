@@ -190,6 +190,10 @@ class TpuEngine:
                 and all(len(c) <= 65536 for c in chunks)):
             return self._compress_device_packed(chunks, finals, level, cnv,
                                                 huffman_static)
+        if (device_pack == "1" and algorithm == "lz4"
+                and len(self.devices) == 1
+                and all(len(c) <= 65536 for c in chunks)):
+            return self._compress_lz4_device(chunks, cnv)
 
         # The device tokenizer's position field caps a row at 64 KiB;
         # sessions may use hw_buff_sz up to 512 KiB (params validation),
@@ -362,6 +366,75 @@ class TpuEngine:
                 futures.append(pool.submit(
                     finish_one, (start + i, words_np[i], int(nbits_np[i]),
                                  hdr, eob)))
+        for f in futures:
+            gi, payload, crc = f.result()
+            results[gi] = (payload, crc)
+        return results  # type: ignore[return-value]
+
+    def _compress_lz4_device(self, chunks, cnv):
+        """Full-device LZ4 block packing (ops/lz4_pack.py). Chunks whose
+        literal runs exceed the device packer's per-emission budget (ok
+        flag false — incompressible-ish data) route to the host coder."""
+        import jax.numpy as jnp
+        from .. import native as _native
+        from ..ops.lz4_pack import lz4_pack_device
+
+        n = 1
+        for c in chunks:
+            while n < len(c):
+                n <<= 1
+        n = max(n, 256)
+
+        pending = []
+        for start in range(0, len(chunks), TILE_B):
+            tile = chunks[start:start + TILE_B]
+            b = _bucket(len(tile))
+            data = np.zeros((b, n), np.uint8)
+            lengths = np.zeros(b, np.int32)
+            for i, c in enumerate(tile):
+                a = np.frombuffer(c, np.uint8)
+                data[i, :len(a)] = a
+                lengths[i] = len(a)
+            words, nbytes, ok = lz4_pack_device(
+                jnp.asarray(data), jnp.asarray(lengths), n=n)
+            pending.append((start, len(tile), words, nbytes, ok))
+
+        results: List[Optional[Tuple[bytes, int]]] = [None] * len(chunks)
+        from ..engines import host_pool
+        pool = host_pool()
+
+        def finish_one(args):
+            gi, words_row, nb, row_ok = args
+            chunk = chunks[gi]
+            if row_ok and chunk:
+                payload = words_row[: (nb + 3) // 4].tobytes()[:nb]
+            else:
+                # long-literal-run or empty chunk — host coder
+                payload = _native.lib.lz4_compress_block(chunk)
+            if cnv:
+                try:
+                    out = _native.lib.lz4_decompress_block(payload,
+                                                           len(chunk))
+                    if out != chunk:
+                        raise ValueError
+                except Exception:  # noqa: BLE001
+                    payload = _native.lib.lz4_compress_block(chunk)
+            return gi, payload, zlib.crc32(chunk) & 0xFFFFFFFF
+
+        futures = []
+        for start, nt, words, nbytes, ok in pending:
+            nb_np = np.asarray(nbytes)
+            ok_np = np.asarray(ok)
+            maxw = int(nb_np.max() + 3) // 4 + 1 if nt else 1
+            k = 256
+            while k < maxw:
+                k <<= 1
+            k = min(k, words.shape[1])
+            words_np = np.asarray(words[:, :k])
+            for i in range(nt):
+                futures.append(pool.submit(
+                    finish_one, (start + i, words_np[i], int(nb_np[i]),
+                                 bool(ok_np[i]))))
         for f in futures:
             gi, payload, crc = f.result()
             results[gi] = (payload, crc)
