@@ -296,29 +296,40 @@ class TpuEngine:
                 continue
             dd, ll = jnp.asarray(data), jnp.asarray(lengths)
             if dynamic:
+                # pass 1 dispatched for ALL tiles before any histogram is
+                # fetched — XLA's async queue runs tile k+1's analysis
+                # under tile k's host tree building
                 hist, ml, dist, taken, lit = deflate_analyze_hist(dd, ll,
                                                                   n=n)
-                hist_np = np.asarray(hist)        # (b, 316) — tiny d2h
-                packs = np.zeros((b, 286), np.uint16)
-                dpacks = np.zeros((b, 30), np.uint16)
-                hdrs = [b""] * b
-                hbits = np.zeros(b, np.int32)
-                for i in range(len(tile)):
-                    lf = hist_np[i, :286].astype(np.uint32)
-                    lf[256] += 1                  # the EOB
-                    df = hist_np[i, 286:].astype(np.uint32)
-                    packs[i], dpacks[i], hdrs[i], hbits[i] = \
-                        _native.lib.dyn_plan(lf, df)
-                words, nbits = deflate_pack_dynamic(
-                    dd, ml, dist, taken, lit,
-                    jnp.asarray(packs.astype(np.uint32)),
-                    jnp.asarray(dpacks.astype(np.uint32)),
-                    jnp.asarray(hbits), n=n)
-                pending.append((start, len(tile), words, nbits,
-                                hdrs, packs))
+                pending.append((start, len(tile), "dyn1",
+                                (dd, hist, ml, dist, taken, lit)))
             else:
                 words, nbits = deflate_pack_device(dd, ll, n=n)
                 pending.append((start, len(tile), words, nbits, None, None))
+
+        # dynamic pass 2: host tree/header build per tile, then dispatch
+        for idx, item in enumerate(pending):
+            if len(item) != 4 or item[2] != "dyn1":
+                continue
+            start, nt, _tag, (dd, hist, ml, dist, taken, lit) = item
+            b = dd.shape[0]
+            hist_np = np.asarray(hist)            # (b, 316) — tiny d2h
+            packs = np.zeros((b, 286), np.uint16)
+            dpacks = np.zeros((b, 30), np.uint16)
+            hdrs = [b""] * b
+            hbits = np.zeros(b, np.int32)
+            for i in range(nt):
+                lf = hist_np[i, :286].astype(np.uint32)
+                lf[256] += 1                      # the EOB
+                df = hist_np[i, 286:].astype(np.uint32)
+                packs[i], dpacks[i], hdrs[i], hbits[i] = \
+                    _native.lib.dyn_plan(lf, df)
+            words, nbits = deflate_pack_dynamic(
+                dd, ml, dist, taken, lit,
+                jnp.asarray(packs.astype(np.uint32)),
+                jnp.asarray(dpacks.astype(np.uint32)),
+                jnp.asarray(hbits), n=n)
+            pending[idx] = (start, nt, words, nbits, hdrs, packs)
 
         results: List[Optional[Tuple[bytes, int]]] = [None] * len(chunks)
         from ..engines import host_pool
