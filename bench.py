@@ -358,7 +358,9 @@ def _fallback_sw_bench():
 
 if __name__ == "__main__":
     try:
-        main()
+        from qatzip_tpu.utils.trace import maybe_trace_from_env
+        with maybe_trace_from_env():   # QZTPU_TRACE=/dir captures a profile
+            main()
     except Exception:  # noqa: BLE001 — device/tunnel failure
         import traceback
 

@@ -111,3 +111,33 @@ def test_aqzip_decompress_multi_member(tmp_path):
     bad = tmp_path / "notgz.bin"
     bad.write_bytes(b"x")
     assert cli.main(["-d", str(bad)]) == 1
+
+
+def test_trace_utility_captures_profile(tmp_path):
+    """qz_trace wraps jax.profiler; stage() feeds the service counters
+    (the reference's QZ_DEBUG timers + dumpCounters analog, SURVEY §5)."""
+    import os
+    import qatzip_tpu as qz
+    from qatzip_tpu.utils.trace import qz_trace, stage
+    from qatzip_tpu.utils.debug import get_counters
+
+    d = tmp_path / "prof"
+    data = b"trace me " * 5000
+    with qz_trace(str(d)):
+        with stage("unit_compress"):
+            s = qz.QzSession()
+            s.setup_deflate()
+            blob = s.compress(data)
+    assert s.decompress(blob) == data
+    # a profile artifact was produced
+    found = []
+    for root, _dirs, files in os.walk(d):
+        found.extend(files)
+    assert found, "no trace files written"
+    snap = get_counters().snapshot()
+    total = {}
+    for c in snap.values():
+        for k, v in c.items():
+            total[k] = total.get(k, 0) + v
+    assert total.get("stage_unit_compress", 0) >= 1
+    assert total.get("stage_unit_compress_us", 0) > 0
