@@ -1,24 +1,29 @@
-"""Accelerated chunk engine: TPU tokenize + native host entropy pack.
+"""Accelerated chunk engine — the per-instance submit/poll machinery
+analog (src/qatzip.c:1336-1887). The dispatch layer (codec.py) fans a
+request into ``hw_buff_sz`` chunks; this engine tiles the batch (device
+"ring depth" = TILE_B, the 32/128-deep buffer-ring analog) and runs one
+of three compress paths:
 
-The analog of the reference's per-instance submit/poll machinery
-(src/qatzip.c:1336-1887): the dispatch layer (codec.py) fans a request into
-``hw_buff_sz`` chunks; this engine
+  * token path (default for dynamic sessions): batched LZ77 tokenize on
+    device (ops/lz77.py), entropy pack on the host with the native C++
+    packers (csrc) in parallel threads — XLA's async queue pipelines tile
+    k+1's device work under tile k's host pack,
+  * full-device deflate (QZTPU_DEVICE_PACK, ops/deflate_pack.py): static
+    or per-chunk-dynamic Huffman bitstreams assembled on device, d2h
+    carries final compressed words (the QAT single-call-compress analog,
+    src/qatzip.c:1445); static packs shard over the dp mesh,
+  * full-device LZ4 (ops/lz4_pack.py): final block bytes on device with
+    per-chunk host fallback for long-literal-run chunks.
 
-  1. tiles the chunk batch (device "ring depth" = TILE_B, the 32/128-deep
-     buffer-ring analog, qatzip_internal.h:63-68),
-  2. runs the batched LZ77 tokenizer on device (ops/lz77.py) — XLA's async
-     dispatch queue pipelines tile k+1's transfer/compute under tile k's
-     host-side entropy pack, playing the role of the producer/consumer
-     thread pair,
-  3. bit-packs tokens into deflate/LZ4/LZ4s payloads with the native C++
-     packers (csrc/qztpu_native.cpp), in parallel host threads,
-  4. returns (payload, crc32) per chunk in submission order — the ordered
-     retirement invariant of doCompressOut (src/qatzip.c:1733-1750).
+Results return (payload, crc32) per chunk in submission order — the
+ordered retirement invariant of doCompressOut (src/qatzip.c:1733-1750).
+Decompression routes through ``decompress_chunks``: batched GIL-free
+native decode on the host, with a device LZ4 leg (QZTPU_DEVICE_DECODE).
 
 Optional compress-and-verify (QZTPU_CNV=1) decodes every payload and
 compares against the source — the reference runs CnV on every request in
 hardware (src/qatzip.c:1387) and falls back to stored blocks on failure;
-we fall back to the software codec for the failing chunk.
+we fall back per chunk the same way.
 """
 
 from __future__ import annotations
