@@ -207,7 +207,7 @@ def test_qztest_driver_modes():
     env = dict(os.environ, QZTPU_FORCE_SW="1")
     # all 22 reference modes (test/main.c:4115-4185); 1 and 3 print the
     # reference's removed-mode message and exit 0
-    for mode in [str(m) for m in range(1, 23)]:
+    for mode in [str(m) for m in range(1, 24)]:   # 23 = batching ext
         r = subprocess.run(
             [sys.executable, "tools/qztest.py", "-m", mode, "-t", "2",
              "-l", "3", "-b", "16384", "-v"],

@@ -32,6 +32,8 @@ message and exit 0):
   20  qzCompressStreamWithPendingOut — bounded-output drain carry
   21  forkResourceCheck    — fork + child session round trip
   22  qzDecompressStreamWithBufferError — bounded decompress drain
+  23  (extension) async cross-request batching vs sync loop on many
+      small buffers — byte-exact verified, timing informational
 
 Usage: python tools/qztest.py -m 4 -t 4 -l 100 -b 65536 [-A deflate]
        [-i inputfile] [-v] [-D comp|decomp|both] [-F gzipext]
@@ -510,6 +512,61 @@ def run_mode_20(args, tid, stats):
     print(f"[INFO] tid={tid} pending-out ok")
 
 
+def run_mode_23(args, tid, stats):
+    """Extension mode (not in the reference's 22): many-small-buffer
+    async throughput vs the sync loop — exercises the async engine's
+    cross-request batching (QzSession.compress_batch coalesces a drained
+    batch into one engine dispatch). Results are verified byte-exact;
+    the timing comparison is informational (printed, not asserted)."""
+    import threading as _t
+    from qatzip_tpu import async_engine as ae
+
+    nbuf = max(args.loops * 8, 64)
+    bufs = [gen_random_data(4096, seed=tid * 1000 + i) + bytes([i & 0xFF])
+            for i in range(nbuf)]
+    sess = make_session(args)
+
+    t0 = time.perf_counter()
+    sync_out = [sess.compress(b) for b in bufs]
+    sync_s = time.perf_counter() - t0
+
+    ae.aqz_init(num_threads=1, ring_depth=max(nbuf, 128))
+    try:
+        asess = ae.AQzSession(sess)
+        got = {}
+        done = _t.Event()
+
+        def cb(ext, src, dest, rc, crc):
+            got[ext] = (dest, rc)
+            if len(got) == nbuf:
+                done.set()
+
+        t0 = time.perf_counter()
+        for i, b in enumerate(bufs):
+            while asess.compress(b, cb, external=i) != ae.AQZ_OK:
+                time.sleep(0.001)
+        if not done.wait(120):
+            stats.fail(tid, "async requests did not complete")
+            return
+        async_s = time.perf_counter() - t0
+    finally:
+        ae.aqz_stop()
+
+    dec = make_session(args)
+    for i, b in enumerate(bufs):
+        dest, rc = got[i]
+        if rc != QZ_OK or dec.decompress(dest) != b:
+            stats.fail(tid, f"async result {i} wrong")
+            return
+        if dest != sync_out[i]:
+            stats.fail(tid, f"async result {i} differs from sync")
+            return
+    print(f"[INFO] tid={tid} async-batching: sync={sync_s*1e3:.0f}ms "
+          f"async={async_s*1e3:.0f}ms "
+          f"({'faster' if async_s < sync_s else 'slower'}, "
+          f"{nbuf} x 4KB buffers)")
+
+
 def run_mode_21(args, tid, stats):
     data = gen_random_data(args.block_sz, seed=tid)
     sess = make_session(args)
@@ -568,7 +625,8 @@ MODES = {2: run_mode_2, 4: run_mode_4, 5: run_mode_5, 6: run_mode_6,
          11: run_mode_11, 12: run_mode_12, 13: run_mode_13,
          14: run_mode_14, 15: run_mode_15, 16: run_mode_16,
          17: run_mode_17, 18: run_mode_18, 19: run_mode_19,
-         20: run_mode_20, 21: run_mode_21, 22: run_mode_22}
+         20: run_mode_20, 21: run_mode_21, 22: run_mode_22,
+         23: run_mode_23}
 
 REMOVED_MODES = (1, 3)   # the reference's own skip semantics
 
