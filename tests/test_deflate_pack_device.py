@@ -225,3 +225,61 @@ def test_dynamic_device_pack_64k_mixed():
     # on this mix — the whole point of the dynamic device path)
     zl = sum(len(zlib.compress(r, 1)) for r in rows)
     assert dyn_total < zl * 1.05
+
+
+def test_device_packers_property_fuzz():
+    """Random content/length property fuzz across all three device
+    packers — every stream must decode byte-exact."""
+    from qatzip_tpu import native
+    if native.lib is None:
+        pytest.skip("native lib unavailable")
+    from qatzip_tpu.ops.lz4_pack import lz4_pack_device
+    rng = np.random.default_rng(42)
+    n = 8192
+    rows = []
+    for _ in range(24):
+        kind = rng.integers(0, 5)
+        ln = int(rng.integers(0, n + 1))
+        if kind == 0:
+            row = rng.integers(0, 256, ln, dtype=np.uint8).tobytes()
+        elif kind == 1:
+            row = bytes(rng.integers(0, 4, ln, dtype=np.uint8) + 65)
+        elif kind == 2:
+            pat = rng.integers(0, 256, max(int(rng.integers(1, 400)), 1),
+                               dtype=np.uint8).tobytes()
+            row = (pat * (ln // max(len(pat), 1) + 1))[:ln]
+        elif kind == 3:
+            row = bytes([int(rng.integers(0, 256))]) * ln
+        else:
+            half = rng.integers(0, 256, ln // 2 + 1,
+                                dtype=np.uint8).tobytes()
+            row = (half + half)[:ln]
+        rows.append(row)
+
+    # static device pack
+    words, nbits, lens = _pack_rows(rows, n)
+    for i, row in enumerate(rows):
+        stream = finish_stream(words[i], int(nbits[i]), final=True)
+        assert zlib.decompressobj(-15).decompress(stream) == row, \
+            f"static row {i}"
+    # dynamic device pack
+    streams = _dyn_pack_rows(rows, n)
+    for i, row in enumerate(rows):
+        assert zlib.decompressobj(-15).decompress(streams[i]) == row, \
+            f"dynamic row {i}"
+    # LZ4 device pack (ok rows only; not-ok -> host fallback by design)
+    import jax.numpy as _jnp
+    data = np.zeros((len(rows), n), np.uint8)
+    lns = np.zeros(len(rows), np.int32)
+    for i, r in enumerate(rows):
+        data[i, :len(r)] = np.frombuffer(r, np.uint8)
+        lns[i] = len(r)
+    w4, nb4, ok4 = lz4_pack_device(_jnp.asarray(data), _jnp.asarray(lns),
+                                   n=n)
+    w4, nb4, ok4 = np.asarray(w4), np.asarray(nb4), np.asarray(ok4)
+    for i, row in enumerate(rows):
+        if not ok4[i] or not row:
+            continue
+        payload = w4[i][: (int(nb4[i]) + 3) // 4].tobytes()[: int(nb4[i])]
+        assert native.lib.lz4_decompress_block(payload, len(row)) == row, \
+            f"lz4 row {i}"
