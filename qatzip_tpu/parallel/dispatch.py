@@ -49,6 +49,35 @@ def _bucket(b: int) -> int:
     return min(p, TILE_B)
 
 
+def _pow2_chunk_n(chunks) -> int:
+    """Smallest power-of-two row capacity covering every chunk (>=256)."""
+    n = 1
+    for c in chunks:
+        while n < len(c):
+            n <<= 1
+    return max(n, 256)
+
+
+def _stage_tile(tile, b: int, n: int):
+    """Zero-padded (b, n) staging batch + per-row lengths for one tile."""
+    data = np.zeros((b, n), np.uint8)
+    lengths = np.zeros(b, np.int32)
+    for i, c in enumerate(tile):
+        a = np.frombuffer(c, np.uint8)
+        data[i, :len(a)] = a
+        lengths[i] = len(a)
+    return data, lengths
+
+
+def _fetch_bucket(maxv: int, cap: int) -> int:
+    """Power-of-two fetch width (min 256) so d2h slice programs stay
+    cached across tiles."""
+    k = 256
+    while k < maxv:
+        k <<= 1
+    return min(k, cap)
+
+
 class TpuEngine:
     """Chunk-batch engine backed by the JAX device runtime."""
 
@@ -147,12 +176,7 @@ class TpuEngine:
                         crcs[i] = int(dcrc_np[i])
             ntok_np = np.asarray(ntok).ravel()       # (b,) per-row counts
             kmax = int(ntok_np.max()) if nt else 0
-            # bucket the row-prefix slice: power-of-two, min 256, so the
-            # d2h slice program stays cached across tiles
-            k = 256
-            while k < kmax:
-                k <<= 1
-            k = min(k, n)
+            k = _fetch_bucket(kmax, n)
             yield start, nt, np.asarray(toks[:, :k]), ntok_np, crcs
 
     # -- public engine interface ----------------------------------------------
@@ -210,11 +234,7 @@ class TpuEngine:
             return self._compress_split(chunks, finals, level, algorithm,
                                         mini_match, huffman_static, cnv,
                                         DEV_MAX)
-        n = 1
-        for c in chunks:
-            while n < len(c):
-                n <<= 1
-        n = max(n, 256)
+        n = _pow2_chunk_n(chunks)
 
         results: List[Optional[Tuple[bytes, int]]] = [None] * len(chunks)
         mode = 1 if huffman_static else 0  # 0 = best(stored/static/dynamic)
@@ -270,12 +290,7 @@ class TpuEngine:
         # native.lib is guaranteed here (compress_chunks routed to the
         # host engine at the top when it is absent)
         dynamic = not huffman_static
-
-        n = 1
-        for c in chunks:
-            while n < len(c):
-                n <<= 1
-        n = max(n, 256)
+        n = _pow2_chunk_n(chunks)
 
         ndev = len(self.devices)
         mesh = None
@@ -289,52 +304,33 @@ class TpuEngine:
             b = _bucket(len(tile))
             if mesh is not None and b % ndev:
                 b = ((b + ndev - 1) // ndev) * ndev  # divisible batch
-            data = np.zeros((b, n), np.uint8)
-            lengths = np.zeros(b, np.int32)
-            for i, c in enumerate(tile):
-                a = np.frombuffer(c, np.uint8)
-                data[i, :len(a)] = a
-                lengths[i] = len(a)
+            data, lengths = _stage_tile(tile, b, n)
             if mesh is not None:
                 words, nbits = mesh_pack_device(mesh, data, lengths, n=n)
                 pending.append((start, len(tile), words, nbits, None, None))
                 continue
             dd, ll = jnp.asarray(data), jnp.asarray(lengths)
             if dynamic:
-                # pass 1 dispatched for ALL tiles before any histogram is
-                # fetched — XLA's async queue runs tile k+1's analysis
-                # under tile k's host tree building
+                # pass 1 with ONE tile of lookahead: tile k+1's analysis
+                # overlaps tile k's host tree building, while at most two
+                # tiles' dense planes live on device at a time (each
+                # pending tile pins ~170MB of planes at TILE_B x 64K)
                 hist, ml, dist, taken, lit = deflate_analyze_hist(dd, ll,
                                                                   n=n)
                 pending.append((start, len(tile), "dyn1",
                                 (dd, hist, ml, dist, taken, lit)))
+                ready = [i for i, it in enumerate(pending)
+                         if len(it) == 4 and it[2] == "dyn1"]
+                if len(ready) > 1:
+                    self._dyn_pass2(pending, ready[0], n)
             else:
                 words, nbits = deflate_pack_device(dd, ll, n=n)
                 pending.append((start, len(tile), words, nbits, None, None))
 
-        # dynamic pass 2: host tree/header build per tile, then dispatch
+        # drain the remaining dynamic pass-1 tiles
         for idx, item in enumerate(pending):
-            if len(item) != 4 or item[2] != "dyn1":
-                continue
-            start, nt, _tag, (dd, hist, ml, dist, taken, lit) = item
-            b = dd.shape[0]
-            hist_np = np.asarray(hist)            # (b, 316) — tiny d2h
-            packs = np.zeros((b, 286), np.uint16)
-            dpacks = np.zeros((b, 30), np.uint16)
-            hdrs = [b""] * b
-            hbits = np.zeros(b, np.int32)
-            for i in range(nt):
-                lf = hist_np[i, :286].astype(np.uint32)
-                lf[256] += 1                      # the EOB
-                df = hist_np[i, 286:].astype(np.uint32)
-                packs[i], dpacks[i], hdrs[i], hbits[i] = \
-                    _native.lib.dyn_plan(lf, df)
-            words, nbits = deflate_pack_dynamic(
-                dd, ml, dist, taken, lit,
-                jnp.asarray(packs.astype(np.uint32)),
-                jnp.asarray(dpacks.astype(np.uint32)),
-                jnp.asarray(hbits), n=n)
-            pending[idx] = (start, nt, words, nbits, hdrs, packs)
+            if len(item) == 4 and item[2] == "dyn1":
+                self._dyn_pass2(pending, idx, n)
 
         results: List[Optional[Tuple[bytes, int]]] = [None] * len(chunks)
         from ..engines import host_pool
@@ -371,10 +367,7 @@ class TpuEngine:
             nbits_np = np.asarray(nbits)
             # dynamic nbits excludes the <=15-bit EOB; pad the fetch
             maxw = int(nbits_np.max() + 15 + 31) // 32 + 1 if nt else 1
-            k = 256
-            while k < maxw:
-                k <<= 1
-            k = min(k, words.shape[1])
+            k = _fetch_bucket(maxw, words.shape[1])
             words_np = np.asarray(words[:, :k])   # bucketed d2h slice
             for i in range(nt):
                 hdr = hdrs[i] if hdrs is not None else None
@@ -387,6 +380,34 @@ class TpuEngine:
             results[gi] = (payload, crc)
         return results  # type: ignore[return-value]
 
+    def _dyn_pass2(self, pending, idx, n):
+        """Dynamic device pack pass 2 for one pending tile: fetch its
+        histograms, build trees/headers on the host (qz_dyn_plan), and
+        dispatch the pack graph — releasing the tile's pass-1 planes."""
+        import jax.numpy as jnp
+        from .. import native as _native
+        from ..ops.deflate_pack import deflate_pack_dynamic
+
+        start, nt, _tag, (dd, hist, ml, dist, taken, lit) = pending[idx]
+        b = dd.shape[0]
+        hist_np = np.asarray(hist)                # (b, 316) — tiny d2h
+        packs = np.zeros((b, 286), np.uint16)
+        dpacks = np.zeros((b, 30), np.uint16)
+        hdrs = [b""] * b
+        hbits = np.zeros(b, np.int32)
+        for i in range(nt):
+            lf = hist_np[i, :286].astype(np.uint32)
+            lf[256] += 1                          # the EOB
+            df = hist_np[i, 286:].astype(np.uint32)
+            packs[i], dpacks[i], hdrs[i], hbits[i] = \
+                _native.lib.dyn_plan(lf, df)
+        words, nbits = deflate_pack_dynamic(
+            dd, ml, dist, taken, lit,
+            jnp.asarray(packs.astype(np.uint32)),
+            jnp.asarray(dpacks.astype(np.uint32)),
+            jnp.asarray(hbits), n=n)
+        pending[idx] = (start, nt, words, nbits, hdrs, packs)
+
     def _compress_lz4_device(self, chunks, cnv):
         """Full-device LZ4 block packing (ops/lz4_pack.py). Chunks whose
         literal runs exceed the device packer's per-emission budget (ok
@@ -395,22 +416,13 @@ class TpuEngine:
         from .. import native as _native
         from ..ops.lz4_pack import lz4_pack_device
 
-        n = 1
-        for c in chunks:
-            while n < len(c):
-                n <<= 1
-        n = max(n, 256)
+        n = _pow2_chunk_n(chunks)
 
         pending = []
         for start in range(0, len(chunks), TILE_B):
             tile = chunks[start:start + TILE_B]
             b = _bucket(len(tile))
-            data = np.zeros((b, n), np.uint8)
-            lengths = np.zeros(b, np.int32)
-            for i, c in enumerate(tile):
-                a = np.frombuffer(c, np.uint8)
-                data[i, :len(a)] = a
-                lengths[i] = len(a)
+            data, lengths = _stage_tile(tile, b, n)
             words, nbytes, ok = lz4_pack_device(
                 jnp.asarray(data), jnp.asarray(lengths), n=n)
             pending.append((start, len(tile), words, nbytes, ok))
@@ -442,10 +454,7 @@ class TpuEngine:
             nb_np = np.asarray(nbytes)
             ok_np = np.asarray(ok)
             maxw = int(nb_np.max() + 3) // 4 + 1 if nt else 1
-            k = 256
-            while k < maxw:
-                k <<= 1
-            k = min(k, words.shape[1])
+            k = _fetch_bucket(maxw, words.shape[1])
             words_np = np.asarray(words[:, :k])
             for i in range(nt):
                 futures.append(pool.submit(

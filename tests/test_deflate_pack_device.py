@@ -283,3 +283,31 @@ def test_device_packers_property_fuzz():
         payload = w4[i][: (int(nb4[i]) + 3) // 4].tobytes()[: int(nb4[i])]
         assert native.lib.lz4_decompress_block(payload, len(row)) == row, \
             f"lz4 row {i}"
+
+
+def test_dynamic_engine_path_single_device(monkeypatch):
+    """Drive _compress_device_packed's dynamic two-pass branch through a
+    single-device engine (the suite's 8-virtual-device mesh routes
+    dynamic sessions to the token path): multi-tile lookahead, stored
+    guard, and framing must produce stock-zlib-exact members."""
+    from qatzip_tpu import native
+    if native.lib is None:
+        pytest.skip("native lib unavailable")
+    monkeypatch.setenv("QZTPU_DEVICE_PACK", "1")
+    monkeypatch.setenv("QZTPU_TILE_B", "256")
+    import jax
+    from qatzip_tpu.parallel.dispatch import TpuEngine
+    rng = np.random.default_rng(9)
+    eng = TpuEngine([jax.devices()[0]], "deflate")
+    chunks = [
+        (b"dyn engine " * 7000)[:65536],
+        rng.integers(0, 256, 65536, dtype=np.uint8).tobytes(),  # stored
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), 65536).tobytes(),
+        b"tail chunk " * 100,
+        b"",
+    ]
+    results = eng.compress_chunks(chunks, level=1, algorithm="deflate",
+                                  huffman_static=False)
+    for chunk, (payload, crc) in zip(chunks, results):
+        assert crc == (zlib.crc32(chunk) & 0xFFFFFFFF)
+        assert zlib.decompressobj(-15).decompress(payload) == chunk

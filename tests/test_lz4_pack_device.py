@@ -62,6 +62,32 @@ def test_lz4_device_pack_long_run_falls_back():
     assert not ok[0]                    # literal run > 270 -> host coder
 
 
+def test_lz4_device_pack_engine_path(monkeypatch):
+    """Drive _compress_lz4_device itself (the suite's 8-virtual-device
+    mesh routes the session path away from it): a single-device engine
+    must mix device-packed and host-fallback chunks, bucketed-fetch the
+    words, and honor CnV."""
+    monkeypatch.setenv("QZTPU_DEVICE_PACK", "1")
+    monkeypatch.setenv("QZTPU_CNV", "1")
+    import jax
+    from qatzip_tpu.parallel.dispatch import TpuEngine
+    rng = np.random.default_rng(8)
+    eng = TpuEngine([jax.devices()[0]], "lz4")
+    chunks = [
+        b"engine path " * 3000,
+        rng.integers(0, 256, 50000, dtype=np.uint8).tobytes(),  # fallback
+        b"R" * 40000,
+        b"",
+    ]
+    results = eng.compress_chunks(chunks, level=1, algorithm="lz4")
+    import zlib as _z
+    for chunk, (payload, crc) in zip(chunks, results):
+        assert crc == (_z.crc32(chunk) & 0xFFFFFFFF)
+        if chunk:
+            assert native.lib.lz4_decompress_block(payload,
+                                                   len(chunk)) == chunk
+
+
 def test_lz4_device_pack_engine_frame_e2e(monkeypatch):
     """LZ4 frame round trip with QZTPU_DEVICE_PACK=1: device-packed and
     host-fallback chunks mix inside one frame."""

@@ -512,12 +512,19 @@ def run_mode_20(args, tid, stats):
     print(f"[INFO] tid={tid} pending-out ok")
 
 
+_MODE23_LOCK = threading.Lock()
+
+
 def run_mode_23(args, tid, stats):
     """Extension mode (not in the reference's 22): many-small-buffer
     async throughput vs the sync loop — exercises the async engine's
     cross-request batching (QzSession.compress_batch coalesces a drained
     batch into one engine dispatch). Results are verified byte-exact;
-    the timing comparison is informational (printed, not asserted)."""
+    the timing comparison is informational (printed, not asserted).
+
+    Serialized across -t threads: the async runtime is process-global and
+    aqz_stop() is not reference counted, so concurrent init/stop pairs
+    would tear down a sibling thread's run mid-flight."""
     import threading as _t
     from qatzip_tpu import async_engine as ae
 
@@ -530,27 +537,34 @@ def run_mode_23(args, tid, stats):
     sync_out = [sess.compress(b) for b in bufs]
     sync_s = time.perf_counter() - t0
 
-    ae.aqz_init(num_threads=1, ring_depth=max(nbuf, 128))
-    try:
-        asess = ae.AQzSession(sess)
-        got = {}
-        done = _t.Event()
+    with _MODE23_LOCK:
+        ae.aqz_init(num_threads=1, ring_depth=max(nbuf, 128))
+        try:
+            asess = ae.AQzSession(sess)
+            got = {}
+            done = _t.Event()
 
-        def cb(ext, src, dest, rc, crc):
-            got[ext] = (dest, rc)
-            if len(got) == nbuf:
-                done.set()
+            def cb(ext, src, dest, rc, crc):
+                got[ext] = (dest, rc)
+                if len(got) == nbuf:
+                    done.set()
 
-        t0 = time.perf_counter()
-        for i, b in enumerate(bufs):
-            while asess.compress(b, cb, external=i) != ae.AQZ_OK:
-                time.sleep(0.001)
-        if not done.wait(120):
-            stats.fail(tid, "async requests did not complete")
-            return
-        async_s = time.perf_counter() - t0
-    finally:
-        ae.aqz_stop()
+            t0 = time.perf_counter()
+            for i, b in enumerate(bufs):
+                while True:
+                    rc = asess.compress(b, cb, external=i)
+                    if rc == ae.AQZ_OK:
+                        break
+                    if rc != ae.AQZ_NO_SPACE:    # STOPPED etc: do not spin
+                        stats.fail(tid, f"async submit rc={rc}")
+                        return
+                    time.sleep(0.001)
+            if not done.wait(120):
+                stats.fail(tid, "async requests did not complete")
+                return
+            async_s = time.perf_counter() - t0
+        finally:
+            ae.aqz_stop()
 
     dec = make_session(args)
     for i, b in enumerate(bufs):
