@@ -26,6 +26,8 @@ def _build_parser():
     p = argparse.ArgumentParser(prog="aqzip")
     p.add_argument("-d", "--decompress", action="store_true")
     p.add_argument("-k", "--keep", action="store_true")
+    p.add_argument("-f", "--force", action="store_true",
+                   help="overwrite existing output files")
     p.add_argument("-t", dest="threads", type=int, default=2)
     p.add_argument("-w", dest="window", type=int, default=16,
                    help="max inflight requests")
@@ -46,6 +48,11 @@ def process_file(args, name: str) -> int:
         out_name = name[:-3]
     else:
         out_name = name + ".gz"
+    if os.path.exists(out_name) and not args.force:
+        # reference aqzip refuses existing outputs without -f
+        print(f"aqzip: {out_name} already exists; use -f to force",
+              file=sys.stderr)
+        return 1
     sess = AQzSession()
     sess.setup_deflate()
 
