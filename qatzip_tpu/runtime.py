@@ -53,7 +53,12 @@ class Runtime:
                 return QZ_NO_HW if sw_backup else QZ_NOSW_NO_HW
             try:
                 import jax
-                self.devices = list(jax.devices())
+                # addressable devices only: under jax.distributed each
+                # process drives its local chips (the per-process instance
+                # allocation of the reference driver conf,
+                # config_file/.../c6xx_dev0.conf:118-120); global-mesh
+                # work goes through parallel/multihost.py explicitly
+                self.devices = list(jax.local_devices())
                 self.platform = self.devices[0].platform if self.devices else None
                 self.hw_available = bool(self.devices)
                 # Treat TPU v5+ (and any non-CPU backend) as "gen4"-class:
