@@ -1466,7 +1466,9 @@ static inline int decode_sym(BitIn& in, const HuffTable& ht) {
   return decode_sym_nr(in, ht);
 }
 
-// overlap-safe backward copy with 8-byte stamping for dist >= 8
+// overlap-safe backward copy. Fast paths (16-byte stamps for dist >= 16,
+// seed-then-double window growth for 2 <= dist < 16) need a 16-byte skid
+// past len; the byte loop handles the buffer tail exactly.
 static inline void copy_match(uint8_t* op, int64_t dist, int64_t len,
                               uint8_t* out_end_cap) {
   const uint8_t* src = op - dist;
@@ -1474,19 +1476,31 @@ static inline void copy_match(uint8_t* op, int64_t dist, int64_t len,
     std::memset(op, src[0], (size_t)len);
     return;
   }
-  if (dist >= 8 && op + len + 8 <= out_end_cap) {
-    uint8_t* o = op;
-    const uint8_t* s = src;
-    int64_t k = len;
-    while (k > 0) {
-      std::memcpy(o, s, 8);
-      o += 8;
-      s += 8;
-      k -= 8;
+  if (op + len + 16 <= out_end_cap) {
+    if (dist >= 16) {
+      uint8_t* o = op;
+      const uint8_t* s = src;
+      int64_t k = len;
+      do {
+        std::memcpy(o, s, 16);
+        o += 16;
+        s += 16;
+        k -= 16;
+      } while (k > 0);
+      return;
     }
-  } else {
-    for (int64_t k = 0; k < len; ++k) op[k] = src[k];
+    // short distance: seed one period, then double the copied window —
+    // O(log len) memcpys instead of a per-byte loop
+    for (int64_t i = 0; i < dist && i < len; ++i) op[i] = src[i];
+    int64_t have = dist;
+    while (have < len) {
+      int64_t c = len - have < have ? len - have : have;
+      std::memcpy(op + have, op, (size_t)c);
+      have += c;
+    }
+    return;
   }
+  for (int64_t k = 0; k < len; ++k) op[k] = src[k];
 }
 
 }  // namespace
@@ -1624,14 +1638,14 @@ done:
 // ---------------------------------------------------------------------------
 // crc32 (zlib polynomial, reflected) — slicing-by-8, for the batch decoder
 // ---------------------------------------------------------------------------
-static uint32_t g_crc32_tbl[8][256];
+static uint32_t g_crc32_tbl[16][256];
 static void init_crc32_tables() {
   for (uint32_t i = 0; i < 256; ++i) {
     uint32_t c = i;
     for (int k = 0; k < 8; ++k) c = (c >> 1) ^ (0xEDB88320u & (~((c & 1) - 1)));
     g_crc32_tbl[0][i] = c;
   }
-  for (int t = 1; t < 8; ++t)
+  for (int t = 1; t < 16; ++t)
     for (uint32_t i = 0; i < 256; ++i)
       g_crc32_tbl[t][i] = (g_crc32_tbl[t - 1][i] >> 8) ^
                           g_crc32_tbl[0][g_crc32_tbl[t - 1][i] & 0xFF];
@@ -1641,6 +1655,24 @@ uint32_t qz_crc32(const uint8_t* p, int64_t n, uint32_t crc) {
   static bool ready = (init_crc32_tables(), true);
   (void)ready;
   crc = ~crc;
+  while (n >= 16) {           // slicing-by-16 main loop
+    uint32_t a, b, c, d;
+    std::memcpy(&a, p, 4);
+    std::memcpy(&b, p + 4, 4);
+    std::memcpy(&c, p + 8, 4);
+    std::memcpy(&d, p + 12, 4);
+    a ^= crc;
+    crc = g_crc32_tbl[15][a & 0xFF] ^ g_crc32_tbl[14][(a >> 8) & 0xFF] ^
+          g_crc32_tbl[13][(a >> 16) & 0xFF] ^ g_crc32_tbl[12][a >> 24] ^
+          g_crc32_tbl[11][b & 0xFF] ^ g_crc32_tbl[10][(b >> 8) & 0xFF] ^
+          g_crc32_tbl[9][(b >> 16) & 0xFF] ^ g_crc32_tbl[8][b >> 24] ^
+          g_crc32_tbl[7][c & 0xFF] ^ g_crc32_tbl[6][(c >> 8) & 0xFF] ^
+          g_crc32_tbl[5][(c >> 16) & 0xFF] ^ g_crc32_tbl[4][c >> 24] ^
+          g_crc32_tbl[3][d & 0xFF] ^ g_crc32_tbl[2][(d >> 8) & 0xFF] ^
+          g_crc32_tbl[1][(d >> 16) & 0xFF] ^ g_crc32_tbl[0][d >> 24];
+    p += 16;
+    n -= 16;
+  }
   while (n >= 8) {
     uint32_t lo, hi;
     std::memcpy(&lo, p, 4);

@@ -238,7 +238,7 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
             and os.environ.get("QZTPU_DEVICE_DECODE", "0") != "1"):
         in_offs = [m.payload_off for m in members]
         in_lens = [m.payload_sz for m in members]
-        out_np, crcs, out_lens = _native.lib.inflate_batch(
+        out_bytes, crcs, out_lens = _native.lib.inflate_batch_bytes(
             data, in_offs, in_lens, sizes)
         if all(int(ol) == s for ol, s in zip(out_lens, sizes)):
             if verify:
@@ -248,7 +248,7 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
             total_crc = 0
             for c, s in zip(crcs, sizes):
                 total_crc = crc32_combine(total_crc, int(c), s)
-            return out_np.tobytes(), consumed, total_crc
+            return out_bytes, consumed, total_crc
         counters.bump("sw_decompress_fallback", 1, len(data))
         return swc.sw_decompress_multi(data, data_fmt, max_out)
 

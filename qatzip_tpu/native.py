@@ -50,6 +50,52 @@ def _needs_build() -> bool:
         return False
 
 
+# -- optional CPython extension (zero-copy decode output) -------------------
+_PYEXT_SRC = os.path.join(_DIR, "..", "csrc", "qztpu_pyext.c")
+_PYEXT_SO = os.path.join(_DIR, "_qztpu_pyext.so")
+pyext = None
+
+
+def _build_pyext() -> bool:
+    import sysconfig
+    inc = sysconfig.get_paths().get("include")
+    if not inc or not os.path.exists(os.path.join(inc, "Python.h")):
+        return False
+    try:
+        cmd = ["g++", "-O2", "-fPIC", "-shared", "-I", inc,
+               "-o", _PYEXT_SO, _PYEXT_SRC, _SO,
+               "-Wl,-rpath,$ORIGIN"]
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=60)
+        if res.returncode != 0:
+            sys.stderr.write("qztpu_pyext build failed:\n" + res.stderr + "\n")
+            return False
+        return True
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"qztpu_pyext build error: {e}\n")
+        return False
+
+
+def _load_pyext():
+    global pyext
+    try:
+        stale = (not os.path.exists(_PYEXT_SO)
+                 or os.path.getmtime(_PYEXT_SO) < os.path.getmtime(_PYEXT_SRC)
+                 or os.path.getmtime(_PYEXT_SO) < os.path.getmtime(_SO))
+    except OSError:
+        stale = True
+    if stale and not _build_pyext():
+        return
+    try:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "qatzip_tpu._qztpu_pyext", _PYEXT_SO)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        pyext = mod
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"qztpu_pyext load failed: {e}\n")
+
+
 class _NativeLib:
     """Typed wrappers over the C ABI."""
 
@@ -201,6 +247,29 @@ class _NativeLib:
             caps.ctypes.data_as(_i64p), out_lens.ctypes.data_as(_i64p),
             crcs.ctypes.data_as(_u32p), n, nthreads)
         return dst[:total], crcs, out_lens
+
+    def inflate_batch_bytes(self, data, in_offs, in_lens, out_sizes,
+                            nthreads: int = 0):
+        """Like inflate_batch but the output is a ``bytes`` the decoder
+        wrote directly (zero copy, via the CPython extension). Falls back
+        to the numpy path + one copy when the extension is unavailable.
+
+        Returns (out: bytes, member_crcs: np.uint32, member_lens: np.int64).
+        """
+        import os as _os
+        if nthreads <= 0:
+            nthreads = min(_os.cpu_count() or 4, 16)
+        if pyext is not None:
+            offs = np.ascontiguousarray(in_offs, np.int64)
+            lens = np.ascontiguousarray(in_lens, np.int64)
+            caps = np.ascontiguousarray(out_sizes, np.int64)
+            out, lens_b, crcs_b = pyext.inflate_batch_bytes(
+                data, offs, lens, caps, nthreads)
+            return (out, np.frombuffer(crcs_b, np.uint32),
+                    np.frombuffer(lens_b, np.int64))
+        arr, crcs, out_lens = self.inflate_batch(data, in_offs, in_lens,
+                                                 out_sizes, nthreads)
+        return arr.tobytes(), crcs, out_lens
 
     def crc32(self, data, crc: int = 0) -> int:
         sa = (np.frombuffer(data, np.uint8)
@@ -425,6 +494,8 @@ def _load():
             lib = _NativeLib(ctypes.CDLL(_SO))
         except OSError as e:
             sys.stderr.write(f"qztpu_native load failed: {e}\n")
+            return
+        _load_pyext()
 
 
 if os.environ.get("QZTPU_NO_NATIVE") != "1":

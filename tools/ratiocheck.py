@@ -45,6 +45,11 @@ def main():
     args = p.parse_args()
 
     import jax
+    # ratio is backend-independent: force CPU programmatically (the env
+    # var alone is ignored — sitecustomize bakes the axon platform into
+    # jax.config at interpreter start, CLAUDE.md) so ratio sweeps never
+    # contend with device work on the relay
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from qatzip_tpu.ops.lz77 import lz77_tokenize, merge_segment_tokens
     from qatzip_tpu import native
