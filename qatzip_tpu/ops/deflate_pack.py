@@ -130,10 +130,13 @@ PACK_UNROLL = 8
 
 
 @functools.partial(jax.jit, static_argnames=("n", "parse_seg", "ctx_words",
-                                             "probes", "max_words"))
+                                             "probes", "max_words",
+                                             "search_seg",
+                                             "search_overlap"))
 def deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                         parse_seg: int = 8192, ctx_words: int = 4,
                         probes: int = 6, max_words: int = 0,
+                        search_seg: int = 0, search_overlap: int = 1024,
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compress a chunk batch to final static-Huffman deflate bitstreams.
 
@@ -148,7 +151,8 @@ def deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
         max_words = (n * 9 + HDR_BITS + EOB_BITS + 31) // 32 + 2
     iota, ml, dist, taken, lit, valid = _analyze(
         data, lengths, n=n, min_match=4, max_match=258, window=32768,
-        parse_seg=parse_seg, ctx_words=ctx_words, probes=probes)
+        parse_seg=parse_seg, ctx_words=ctx_words, probes=probes,
+        search_seg=search_seg, search_overlap=search_overlap)
 
     mv, mn = _match_emission(ml, dist)
     lv, ln = _lit_emission(data)
@@ -269,16 +273,19 @@ def _dist_symbol(dist):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "parse_seg", "ctx_words",
-                                             "probes"))
+                                             "probes", "search_seg",
+                                             "search_overlap"))
 def deflate_analyze_hist(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                          parse_seg: int = 8192, ctx_words: int = 4,
-                         probes: int = 6):
+                         probes: int = 6, search_seg: int = 0,
+                         search_overlap: int = 1024):
     """Pass 1: parse + per-chunk symbol histogram (B, 316): lit/len
     symbols 0..285 followed by distance symbols 286..315 — both trees are
     built per chunk on the host from this (qz_dyn_plan)."""
     iota, ml, dist, taken, lit, valid = _analyze(
         data, lengths, n=n, min_match=4, max_match=258, window=32768,
-        parse_seg=parse_seg, ctx_words=ctx_words, probes=probes)
+        parse_seg=parse_seg, ctx_words=ctx_words, probes=probes,
+        search_seg=search_seg, search_overlap=search_overlap)
     lsym, _e, _x = _len_symbol(ml)
     dsym, _ed, _dx = _dist_symbol(dist)
     sym = jnp.where(taken, lsym,

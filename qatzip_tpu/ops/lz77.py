@@ -134,7 +134,8 @@ def _parse_scan(is_match, ml, seg: int, nseg: int, b: int):
 
 
 def _analyze(data, lengths, *, n, min_match, max_match, window,
-             parse_seg, ctx_words, probes, lz4_rules: bool = False):
+             parse_seg, ctx_words, probes, lz4_rules: bool = False,
+             search_seg: int = 0, search_overlap: int = 1024):
     """Match finding + greedy parse — the shared device analysis stages.
 
     Returns dense (B, n) planes: iota, ml, dist, taken (match emitted at
@@ -145,6 +146,19 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     ``lz4_rules`` applies the LZ4 block end rules before the parse (last
     5 bytes literal, no match starting within the last 12 — the demotions
     qz_lz4_pack does at the token level, csrc).
+
+    ``search_seg`` (0 = whole row) segments the CANDIDATE SEARCH: the
+    sort/unsort pair runs over overlapped windows of ``search_seg +
+    search_overlap`` positions at stride ``search_seg`` instead of the
+    full (B, n) rows — measured ~2x cheaper at ss=8192 on the v5e,
+    because XLA sort cost grows with row length (the bitonic depth) and
+    the sort pair is ~60% of tokenizer compute. Candidates are then
+    window-local: the exact back-reference reach at in-segment offset x
+    is ``search_overlap + x`` (so never less than the overlap — plain
+    non-overlapped segmentation loses 2.3x ratio on stride-record data
+    from the per-segment cold restarts; the 1024-byte overlap keeps
+    short-distance matches alive everywhere at 1.125x sort data). A
+    ratio/speed knob priced by tools/ratiocheck.py.
     """
     assert n <= 65536, "position field is 16 bits"
     ctx_bytes = ctx_words * 4
@@ -170,22 +184,51 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     h = jnp.where(hashable, h, np.uint32(1 << HASH_BITS))
 
     # --- sort by (hash, pos); context rides along -------------------------
-    key = (h << 16) | iota.astype(jnp.uint32)
-    sorted_ops = jax.lax.sort((key, *ctx), dimension=1, num_keys=1)
+    # search_seg > 0 runs the sort pair over overlapped windows of
+    # W = ss + ov positions at stride ss; sort cost grows with row
+    # length, so segmenting the search is the single biggest speed knob.
+    ss = search_seg if 0 < search_seg < n else n
+    ov = search_overlap if ss < n else 0
+    W = ss + ov
+    nseg_s = n // ss
+    pbits = max((W - 1).bit_length(), 1)      # relpos bits
+
+    if ss < n:
+        assert n % ss == 0
+
+        def seg(x, fill):
+            """(B, n) -> (B*nseg_s, W): overlapped windows, left-padded."""
+            xp = jnp.concatenate(
+                [jnp.full((b, ov), fill, x.dtype), x], axis=1)
+            wins = [xp[:, k * ss: k * ss + W] for k in range(nseg_s)]
+            return jnp.stack(wins, axis=1).reshape(b * nseg_s, W)
+
+        relpos = jax.lax.broadcasted_iota(
+            jnp.uint32, (b * nseg_s, W), 1)
+        # the row-0 left pad is synthetic zeros: send it to the overflow
+        # bucket so it never becomes a candidate
+        key = (seg(h, np.uint32(1 << HASH_BITS)) << pbits) | relpos
+        ctx_in = [seg(c, np.uint32(0)) for c in ctx]
+    else:
+        relpos = iota.astype(jnp.uint32)
+        key = (h << pbits) | relpos
+        ctx_in = ctx
+    sorted_ops = jax.lax.sort((key, *ctx_in), dimension=1, num_keys=1)
     key_s, ctx_s = sorted_ops[0], sorted_ops[1:]
-    pos_s = (key_s & 0xFFFF).astype(jnp.int32)
-    h_s = key_s >> 16
+    pos_s = (key_s & ((1 << pbits) - 1)).astype(jnp.int32)
+    h_s = key_s >> pbits
+    sb, sn = key_s.shape
 
     def cand_at(delta):
         """Match (len, dist) against the delta-th predecessor in the same
         hash bucket — pure shifts over the sorted operands."""
-        zpad = jnp.zeros((b, delta), jnp.uint32)
+        zpad = jnp.zeros((sb, delta), jnp.uint32)
         same = jnp.concatenate(
-            [jnp.zeros((b, delta), bool),
+            [jnp.zeros((sb, delta), bool),
              h_s[:, delta:] == h_s[:, :-delta]], axis=1)
         dist = pos_s - jnp.concatenate(
-            [jnp.zeros((b, delta), jnp.int32), pos_s[:, :-delta]], axis=1)
-        ml = jnp.zeros((b, n), jnp.int32)
+            [jnp.zeros((sb, delta), jnp.int32), pos_s[:, :-delta]], axis=1)
+        ml = jnp.zeros((sb, sn), jnp.int32)
         alive = same
         for k in range(ctx_words):
             prev = jnp.concatenate([zpad, ctx_s[k][:, :-delta]], axis=1)
@@ -219,6 +262,9 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     packed = (ml_s.astype(jnp.uint32) << 15) | (dist_s - 1).astype(jnp.uint32)
     _, packed_p = jax.lax.sort(
         (pos_s.astype(jnp.uint32), packed), dimension=1, num_keys=1)
+    if ss < n:
+        # drop the overlap prefix: each window owns relpos in [ov, W)
+        packed_p = packed_p.reshape(b, nseg_s, W)[:, :, ov:].reshape(b, n)
     ml = (packed_p >> 15).astype(jnp.int32)
     dist = (packed_p & 0x7FFF).astype(jnp.int32) + 1
 
@@ -271,11 +317,16 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
 
 @functools.partial(jax.jit, static_argnames=("n", "min_match", "max_match",
                                              "window", "parse_seg",
-                                             "ctx_words", "probes"))
+                                             "ctx_words", "probes",
+                                             "search_seg",
+                                             "search_overlap",
+                                             "compact_seg"))
 def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                   min_match: int = 4, max_match: int = 258,
                   window: int = 32768, parse_seg: int = 8192,
                   ctx_words: int = CTX_WORDS, probes: int = 6,
+                  search_seg: int = 0, search_overlap: int = 1024,
+                  compact_seg: int = 0,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tokenize a batch of chunks.
 
@@ -306,13 +357,16 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
 
     Returns:
       tokens: (B, n) uint32 packed tokens, compacted to each row's prefix
-              in position order.
-      ntok:   (B,) int32 token count per row.
+              in position order (``compact_seg`` > 0: compacted to each
+              compact_seg-segment's prefix instead; see below).
+      ntok:   (B,) int32 token count per row, or (B, n/compact_seg) per
+              segment when ``compact_seg`` > 0.
     """
     iota, ml, dist, taken, lit, valid = _analyze(
         data, lengths, n=n, min_match=min_match, max_match=max_match,
         window=window, parse_seg=parse_seg, ctx_words=ctx_words,
-        probes=probes)
+        probes=probes, search_seg=search_seg,
+        search_overlap=search_overlap)
     b = data.shape[0]
 
     # --- literal runs over the POST-parse literal mask --------------------
@@ -347,12 +401,28 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     tok = jnp.where(taken, match_tok,
                     jnp.where(runstart, run_tok, jnp.uint32(0)))
 
-    # --- compaction: one 2-operand sort moves emitted tokens to the row
-    # prefix in position order (replaces the old per-token gather walk —
-    # sorts are fast on TPU, per-element gathers serialize)
-    key = iota.astype(jnp.uint32) | ((~emit).astype(jnp.uint32) << 17)
-    _, tokens = jax.lax.sort((key, tok), dimension=1, num_keys=1)
-    ntok = jnp.sum(emit, axis=1).astype(jnp.int32)
+    # --- compaction: a 2-operand sort moves emitted tokens to each row's
+    # (or compaction segment's) prefix in position order (replaces the old
+    # per-token gather walk — sorts are fast on TPU, per-element gathers
+    # serialize). compact_seg > 0 segments this sort too (sort cost grows
+    # with row length — the same lever as search_seg): tokens land at each
+    # CSEG-segment's prefix and ntok becomes (B, n/CSEG); the host (or the
+    # bucketed d2h fetch) concatenates segment prefixes, which
+    # merge_segment_tokens already handles.
+    if 0 < compact_seg < n:
+        cs = compact_seg
+        ncs = n // cs
+        ki = (iota % cs).astype(jnp.uint32)
+        key = ki | ((~emit).astype(jnp.uint32) << 17)
+        _, tokens = jax.lax.sort(
+            (key.reshape(b * ncs, cs), tok.reshape(b * ncs, cs)),
+            dimension=1, num_keys=1)
+        tokens = tokens.reshape(b, n)
+        ntok = jnp.sum(emit.reshape(b, ncs, cs), axis=2).astype(jnp.int32)
+    else:
+        key = iota.astype(jnp.uint32) | ((~emit).astype(jnp.uint32) << 17)
+        _, tokens = jax.lax.sort((key, tok), dimension=1, num_keys=1)
+        ntok = jnp.sum(emit, axis=1).astype(jnp.int32)
     return tokens, ntok
 
 

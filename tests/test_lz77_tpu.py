@@ -269,3 +269,37 @@ def test_device_lz4_decode_deep_chain():
     payload = native.lib.lz4_compress_block(data)
     (out,) = decode_blocks_device([payload], [len(data)])
     assert out == data
+
+
+def test_segmented_search_roundtrip(sample_chunks):
+    """search_seg windows the candidate-search sorts (speed knob); tokens
+    must still decode exactly, and compressible inputs must still find
+    matches (the 1KB overlap keeps short-distance matches alive across
+    window boundaries)."""
+    data, lengths = _batchify(sample_chunks, N)
+    toks, ntok = lz77_tokenize(data, lengths, n=N, search_seg=1024,
+                               search_overlap=256)
+    toks, ntok = np.asarray(toks), np.asarray(ntok)
+    for i, c in enumerate(sample_chunks):
+        m = merge_segment_tokens(toks[i], ntok[i], parse_seg=8192)
+        assert tokens_to_bytes(m, len(m), c) == c
+    # highly repetitive rows must still compress hard despite windowing
+    assert ntok[2] <= 24          # all-zeros row
+    assert ntok[3] <= 60          # 8-byte period row
+
+
+def test_segmented_compaction_roundtrip(sample_chunks):
+    """compact_seg compacts tokens to segment prefixes; ntok becomes
+    (B, n/cs) and merge_segment_tokens stitches the stream back."""
+    cs = 1024
+    data, lengths = _batchify(sample_chunks, N)
+    toks, ntok = lz77_tokenize(data, lengths, n=N, compact_seg=cs)
+    toks, ntok = np.asarray(toks), np.asarray(ntok)
+    assert ntok.shape == (len(sample_chunks), N // cs)
+    ref_toks, ref_ntok = lz77_tokenize(data, lengths, n=N)
+    ref_toks, ref_ntok = np.asarray(ref_toks), np.asarray(ref_ntok)
+    for i, c in enumerate(sample_chunks):
+        m = merge_segment_tokens(toks[i], ntok[i], parse_seg=cs)
+        # identical token stream to the unsegmented compaction
+        assert np.array_equal(m, ref_toks[i][: ref_ntok[i]])
+        assert tokens_to_bytes(m, len(m), c) == c

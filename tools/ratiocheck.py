@@ -40,6 +40,7 @@ def main():
     p.add_argument("--ctx", type=int, default=4)
     p.add_argument("--seg", type=int, default=8192)
     p.add_argument("--probes", type=int, default=6)
+    p.add_argument("--search-seg", type=int, default=0)
     p.add_argument("--mb", type=int, default=8)
     p.add_argument("--corpus", default="mixed", choices=["mixed", "strided"])
     args = p.parse_args()
@@ -69,7 +70,8 @@ def main():
 
     toks, ntok = lz77_tokenize(jnp.asarray(data), jnp.asarray(lengths), n=n,
                                parse_seg=args.seg, ctx_words=args.ctx,
-                               probes=args.probes)
+                               probes=args.probes,
+                               search_seg=args.search_seg)
     toks = np.asarray(toks)
     ntok = np.asarray(ntok)
     total = 0
@@ -86,7 +88,8 @@ def main():
     zratio = b * n / zl
     print(json.dumps({
         "corpus": args.corpus, "ctx": args.ctx, "seg": args.seg,
-        "probes": args.probes, "mb": b * n >> 20,
+        "probes": args.probes, "search_seg": args.search_seg,
+        "mb": b * n >> 20,
         "ratio": round(ours, 4), "zlib_l1_ratio": round(zratio, 4),
         "vs_zlib_l1": round(ours / zratio, 4),
     }))
