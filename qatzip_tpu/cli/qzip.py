@@ -19,7 +19,8 @@ import time
 from typing import Optional
 
 from .. import params as P
-from ..constants import DataFormat, Direction, HuffmanHdr, PollingMode, QzError
+from ..constants import (QZ_UNSUPPORTED_FMT, DataFormat, Direction,
+                         HuffmanHdr, PollingMode, QzError)
 from ..session import QzSession
 
 SUFFIXES = {".gz", ".lz4", ".lz4s", ".7z", ".zst"}
@@ -197,7 +198,7 @@ def process_file(args, in_name: str) -> int:
                 if decompress:
                     out, consumed = sess.decompress(buf, return_consumed=True)
                     if consumed == 0:
-                        raise QzError(1,
+                        raise QzError(QZ_UNSUPPORTED_FMT,
                                       f"{in_name}: not in a supported format")
                     pending = buf[consumed:]
                 else:

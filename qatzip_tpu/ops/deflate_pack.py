@@ -41,6 +41,7 @@ mixed corpus; static is 46% worse there — DNA/structured data).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -48,6 +49,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from .lz77 import _analyze
+
+
+def _pallas_mode(platform: str = None) -> str:
+    """Assembly backend for the group-window placement: "kernel" (Mosaic
+    TPU kernel, ops/pallas_pack.py), "interpret" (same kernel, Pallas
+    interpreter — CPU-backend tests), or "scatter" (XLA scatter-add).
+    QZTPU_PALLAS=auto (default) picks the kernel on TPU-class backends
+    and scatter on CPU; =1 forces the kernel (interpreted on CPU);
+    =0 forces scatter. ``platform`` pins the decision to the platform the
+    computation actually runs on (a CPU mesh under an axon/TPU default
+    backend — the driver's virtual multi-chip dryrun — must not pick the
+    Mosaic kernel)."""
+    v = os.environ.get("QZTPU_PALLAS", "auto")
+    if v == "0":
+        return "scatter"
+    if platform is None:
+        platform = jax.default_backend()
+    if platform == "cpu":
+        return "interpret" if v == "1" else "scatter"
+    return "kernel"
 
 GROUP = 256          # positions per pack group
 # worst case bits per group: 256 literals x 9 bits = 2304, plus a 31-bit
@@ -129,14 +150,11 @@ def _lit_emission(byte):
 PACK_UNROLL = 8
 
 
-@functools.partial(jax.jit, static_argnames=("n", "parse_seg", "ctx_words",
-                                             "probes", "max_words",
-                                             "search_seg",
-                                             "search_overlap"))
 def deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                         parse_seg: int = 8192, ctx_words: int = 4,
                         probes: int = 6, max_words: int = 0,
                         search_seg: int = 0, search_overlap: int = 1024,
+                        pallas: str = None,
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compress a chunk batch to final static-Huffman deflate bitstreams.
 
@@ -146,6 +164,23 @@ def deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
              padding are implicit zeros).
       nbits: (B,) int32 total bits per row INCLUDING header and EOB.
     """
+    if pallas is None:
+        pallas = _pallas_mode()      # read per call, outside the jit cache
+    return _deflate_pack_device(data, lengths, n=n, parse_seg=parse_seg,
+                                ctx_words=ctx_words, probes=probes,
+                                max_words=max_words, search_seg=search_seg,
+                                search_overlap=search_overlap, pallas=pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "parse_seg", "ctx_words",
+                                             "probes", "max_words",
+                                             "search_seg",
+                                             "search_overlap", "pallas"))
+def _deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
+                         parse_seg: int, ctx_words: int, probes: int,
+                         max_words: int, search_seg: int,
+                         search_overlap: int, pallas: str,
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b = data.shape[0]
     if max_words == 0:
         max_words = (n * 9 + HDR_BITS + EOB_BITS + 31) // 32 + 2
@@ -164,7 +199,8 @@ def deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     off = HDR_BITS + csum - nbits               # exclusive prefix
     total_bits = HDR_BITS + csum[:, -1] + EOB_BITS
 
-    out = _group_pack_assemble(bits, nbits, off, b, n, max_words)
+    out = _group_pack_assemble(bits, nbits, off, b, n, max_words,
+                               pallas=pallas)
     # block header bits [0,3): BFINAL=0, BTYPE=01 -> LSB-first 0b010;
     # emissions start at bit 3, so the add is an or
     out = out.at[:, 0].add(jnp.uint32(0b010))
@@ -172,11 +208,13 @@ def deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
 
 
 def _group_pack_assemble(bits, nbits, off, b: int, n: int, max_words: int,
-                         group_w: int = GROUP_W):
-    """Group-window OR-pack + one scatter-add assembly (shared by the
-    static and dynamic device packers). Emissions must be <= 32 bits;
-    ``group_w`` bounds a group's worst-case word span (74 for static's
-    <=9-bit literals, DYN_GROUP_W for limit-12 dynamic codes)."""
+                         group_w: int = GROUP_W, pallas: str = "scatter"):
+    """Group-window OR-pack + assembly (shared by the static and dynamic
+    device packers). Emissions must be <= 32 bits; ``group_w`` bounds a
+    group's worst-case word span (74 for static's <=9-bit literals,
+    DYN_GROUP_W for limit-12 dynamic codes). ``pallas`` selects the
+    assembly backend (_pallas_mode): the Mosaic kernel replaces a ~51 ms
+    scatter-add with ~3 ms per 16 MB batch on the v5e."""
     ngroups = n // GROUP
     rows = b * ngroups
     # bits MUST be unsigned: a full-32-bit emission sets bit 31, and an
@@ -214,11 +252,15 @@ def _group_pack_assemble(bits, nbits, off, b: int, n: int, max_words: int,
     buf0 = jnp.zeros((rows, group_w), jnp.uint32)
     grp = jax.lax.fori_loop(0, GROUP // PACK_UNROLL, pack_body, buf0)
 
-    # --- assembly: one scatter-add of all group windows -------------------
+    # --- assembly: place all group windows at their word offsets ----------
     # contributions to a shared straddle word carry disjoint bits, so
     # integer add == bitwise or
     grp = grp.reshape(b, ngroups, group_w)
     wo = gbase.reshape(b, ngroups)              # word offset per group
+    if pallas != "scatter":
+        from .pallas_pack import assemble_windows
+        return assemble_windows(grp, wo, max_words=max_words,
+                                interpret=(pallas == "interpret"))
     out = jnp.zeros((b, max_words), jnp.uint32)
     widx_full = wo[:, :, None] + jnp.arange(group_w, dtype=jnp.int32)[None,
                                                                       None, :]
@@ -302,11 +344,22 @@ def deflate_analyze_hist(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     return hist, ml, dist, taken, lit
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_words"))
 def deflate_pack_dynamic(data: jnp.ndarray, ml, dist, taken, lit,
                          lit_pack: jnp.ndarray, dist_pack: jnp.ndarray,
                          hdr_bits: jnp.ndarray, *,
-                         n: int, max_words: int = 0):
+                         n: int, max_words: int = 0, pallas: str = None):
+    if pallas is None:
+        pallas = _pallas_mode()      # read per call, outside the jit cache
+    return _deflate_pack_dynamic(data, ml, dist, taken, lit, lit_pack,
+                                 dist_pack, hdr_bits, n=n,
+                                 max_words=max_words, pallas=pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_words", "pallas"))
+def _deflate_pack_dynamic(data: jnp.ndarray, ml, dist, taken, lit,
+                          lit_pack: jnp.ndarray, dist_pack: jnp.ndarray,
+                          hdr_bits: jnp.ndarray, *,
+                          n: int, max_words: int = 0, pallas: str = "scatter"):
     """Pass 2: per-position code lookup + bit-pack with per-chunk trees.
 
     lit_pack: (B, 286) and dist_pack: (B, 30) uint32, each bit-reversed
@@ -326,35 +379,43 @@ def deflate_pack_dynamic(data: jnp.ndarray, ml, dist, taken, lit,
     lsym, e_len, lextra = _len_symbol(ml)
     sym = jnp.where(taken, lsym,
                     jnp.where(lit, data.astype(jnp.int32), 286))
+    dsym, e_d, dextra = _dist_symbol(dist)
 
-    # --- sort-merge lit/len table lookup ----------------------------------
-    # entries: key = sym*2, value = table pack; queries: key = sym*2+1,
-    # value = original position (for the unsort)
-    iota_n = jax.lax.broadcasted_iota(jnp.uint32, (b, n), 1)
-    ent_key = jnp.broadcast_to(
-        (jnp.arange(286, dtype=jnp.uint32) * 2)[None, :], (b, 286))
-    q_key = sym.astype(jnp.uint32) * 2 + 1
-    keys = jnp.concatenate([ent_key, q_key], axis=1)
-    vals = jnp.concatenate([lit_pack.astype(jnp.uint32), iota_n], axis=1)
-    keys_s, vals_s = jax.lax.sort((keys, vals), dimension=1, num_keys=1)
-    is_ent = (keys_s & 1) == 0
-    # forward-fill: packed (sym<<16 | table_pack) is monotone in sym
-    fill_src = jnp.where(is_ent, ((keys_s >> 1) << 16) | vals_s, 0)
-    filled = jax.lax.cummax(fill_src, axis=1)
-    # unsort queries back to position order
-    big = jnp.uint32(1 << 20)
-    key2 = jnp.where(is_ent, big + (keys_s >> 1), vals_s)
-    _, pack_by_pos = jax.lax.sort(
-        (key2, filled & jnp.uint32(0xFFFF)), dimension=1, num_keys=1)
-    pack_by_pos = pack_by_pos[:, :n]
+    if pallas != "scatter" and n % 128 == 0:
+        # --- Mosaic lane-gather table lookup (ops/pallas_pack.py) ---------
+        from .pallas_pack import huffman_lookup
+        pack_by_pos, dpack = huffman_lookup(
+            lit_pack, dist_pack, sym, dsym, n=n,
+            interpret=(pallas == "interpret"))
+    else:
+        # --- sort-merge lit/len table lookup ------------------------------
+        # entries: key = sym*2, value = table pack; queries: key =
+        # sym*2+1, value = original position (for the unsort)
+        iota_n = jax.lax.broadcasted_iota(jnp.uint32, (b, n), 1)
+        ent_key = jnp.broadcast_to(
+            (jnp.arange(286, dtype=jnp.uint32) * 2)[None, :], (b, 286))
+        q_key = sym.astype(jnp.uint32) * 2 + 1
+        keys = jnp.concatenate([ent_key, q_key], axis=1)
+        vals = jnp.concatenate([lit_pack.astype(jnp.uint32), iota_n], axis=1)
+        keys_s, vals_s = jax.lax.sort((keys, vals), dimension=1, num_keys=1)
+        is_ent = (keys_s & 1) == 0
+        # forward-fill: packed (sym<<16 | table_pack) is monotone in sym
+        fill_src = jnp.where(is_ent, ((keys_s >> 1) << 16) | vals_s, 0)
+        filled = jax.lax.cummax(fill_src, axis=1)
+        # unsort queries back to position order
+        big = jnp.uint32(1 << 20)
+        key2 = jnp.where(is_ent, big + (keys_s >> 1), vals_s)
+        _, pack_by_pos = jax.lax.sort(
+            (key2, filled & jnp.uint32(0xFFFF)), dimension=1, num_keys=1)
+        pack_by_pos = pack_by_pos[:, :n]
+
+        # --- distance table: fused compare-select over 30 entries ---------
+        dpack = jnp.zeros((b, n), jnp.uint32)
+        for k in range(30):
+            dpack = dpack | jnp.where(dsym == k, dist_pack[:, k:k + 1], 0)
+
     code = pack_by_pos & 0xFFF
     clen = (pack_by_pos >> 12).astype(jnp.int32)
-
-    # --- distance table: fused compare-select over 30 entries -------------
-    dsym, e_d, dextra = _dist_symbol(dist)
-    dpack = jnp.zeros((b, n), jnp.uint32)
-    for k in range(30):
-        dpack = dpack | jnp.where(dsym == k, dist_pack[:, k:k + 1], 0)
     dcode = dpack & 0xFFF
     dclen = (dpack >> 12).astype(jnp.int32)
 
@@ -383,7 +444,7 @@ def deflate_pack_dynamic(data: jnp.ndarray, ml, dist, taken, lit,
     total_bits = hdr_bits + csum[:, -1]        # EOB appended by host
 
     out = _group_pack_assemble(bits, nbits, off, b, n, max_words,
-                               group_w=DYN_GROUP_W)
+                               group_w=DYN_GROUP_W, pallas=pallas)
     return out, total_bits.astype(jnp.int32)
 
 

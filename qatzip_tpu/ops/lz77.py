@@ -148,17 +148,19 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     qz_lz4_pack does at the token level, csrc).
 
     ``search_seg`` (0 = whole row) segments the CANDIDATE SEARCH: the
-    sort/unsort pair runs over overlapped windows of ``search_seg +
-    search_overlap`` positions at stride ``search_seg`` instead of the
-    full (B, n) rows — measured ~2x cheaper at ss=8192 on the v5e,
-    because XLA sort cost grows with row length (the bitonic depth) and
-    the sort pair is ~60% of tokenizer compute. Candidates are then
-    window-local: the exact back-reference reach at in-segment offset x
-    is ``search_overlap + x`` (so never less than the overlap — plain
-    non-overlapped segmentation loses 2.3x ratio on stride-record data
-    from the per-segment cold restarts; the 1024-byte overlap keeps
-    short-distance matches alive everywhere at 1.125x sort data). A
-    ratio/speed knob priced by tools/ratiocheck.py.
+    sort/unsort pair runs over windows of WIDTH ``search_seg`` at stride
+    ``search_seg - search_overlap`` instead of the full (B, n) rows —
+    measured ~35% faster tokenize at W=8192 on the v5e, because XLA sort
+    cost grows with row length (the bitonic depth) and the sort pair is
+    ~60% of tokenizer compute. Keep ``search_seg`` a POWER OF TWO: XLA
+    pads the sort dimension up to one (a 9216-wide sort costs exactly a
+    16384-wide sort, measured), which is why the window is W wide with
+    the overlap INSIDE it rather than W+ov wide. Candidates are
+    window-local: each window owns its last W-ov positions and the exact
+    back-reference reach at owned offset x is ``search_overlap + x`` (so
+    never less than the overlap — plain non-overlapped segmentation
+    loses 2.3x ratio on stride-record data from the per-segment cold
+    restarts). A ratio/speed knob priced by tools/ratiocheck.py.
     """
     assert n <= 65536, "position field is 16 bits"
     ctx_bytes = ctx_words * 4
@@ -184,32 +186,37 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     h = jnp.where(hashable, h, np.uint32(1 << HASH_BITS))
 
     # --- sort by (hash, pos); context rides along -------------------------
-    # search_seg > 0 runs the sort pair over overlapped windows of
-    # W = ss + ov positions at stride ss; sort cost grows with row
-    # length, so segmenting the search is the single biggest speed knob.
-    ss = search_seg if 0 < search_seg < n else n
-    ov = search_overlap if ss < n else 0
-    W = ss + ov
-    nseg_s = n // ss
-    pbits = max((W - 1).bit_length(), 1)      # relpos bits
-
-    if ss < n:
-        assert n % ss == 0
+    # search_seg > 0 runs the sort pair over overlapped windows of WIDTH
+    # W = search_seg (keep it a power of two — XLA pads the sort width up
+    # to one) at stride own = W - ov; sort cost grows with row length, so
+    # segmenting the search is the single biggest speed knob.
+    segmented = 0 < search_seg < n
+    if segmented:
+        W = search_seg
+        ov = min(search_overlap, W - 1)
+        own = W - ov                        # positions owned per window
+        nwin = -(-n // own)
+        # padded layout: [ov synthetic] + data + [right junk]; window k
+        # covers padded [k*own, k*own + W) and owns its last `own` slots
+        pad_r = (nwin - 1) * own + W - ov - n
+        pbits = max((W - 1).bit_length(), 1)
 
         def seg(x, fill):
-            """(B, n) -> (B*nseg_s, W): overlapped windows, left-padded."""
+            """(B, n) -> (B*nwin, W): overlapped power-of-two windows."""
             xp = jnp.concatenate(
-                [jnp.full((b, ov), fill, x.dtype), x], axis=1)
-            wins = [xp[:, k * ss: k * ss + W] for k in range(nseg_s)]
-            return jnp.stack(wins, axis=1).reshape(b * nseg_s, W)
+                [jnp.full((b, ov), fill, x.dtype), x,
+                 jnp.full((b, pad_r), fill, x.dtype)], axis=1)
+            wins = [xp[:, k * own: k * own + W] for k in range(nwin)]
+            return jnp.stack(wins, axis=1).reshape(b * nwin, W)
 
-        relpos = jax.lax.broadcasted_iota(
-            jnp.uint32, (b * nseg_s, W), 1)
-        # the row-0 left pad is synthetic zeros: send it to the overflow
-        # bucket so it never becomes a candidate
+        relpos = jax.lax.broadcasted_iota(jnp.uint32, (b * nwin, W), 1)
+        # synthetic pads go to the overflow bucket so they never become
+        # candidates
         key = (seg(h, np.uint32(1 << HASH_BITS)) << pbits) | relpos
         ctx_in = [seg(c, np.uint32(0)) for c in ctx]
     else:
+        W, ov, own, nwin = n, 0, n, 1
+        pbits = max((n - 1).bit_length(), 1)
         relpos = iota.astype(jnp.uint32)
         key = (h << pbits) | relpos
         ctx_in = ctx
@@ -262,9 +269,11 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     packed = (ml_s.astype(jnp.uint32) << 15) | (dist_s - 1).astype(jnp.uint32)
     _, packed_p = jax.lax.sort(
         (pos_s.astype(jnp.uint32), packed), dimension=1, num_keys=1)
-    if ss < n:
-        # drop the overlap prefix: each window owns relpos in [ov, W)
-        packed_p = packed_p.reshape(b, nseg_s, W)[:, :, ov:].reshape(b, n)
+    if segmented:
+        # each window owns relpos in [ov, W); windows at stride own tile
+        # the row (the last window may own a partial tail — trim to n)
+        packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
+        packed_p = packed_p.reshape(b, nwin * own)[:, :n]
     ml = (packed_p >> 15).astype(jnp.int32)
     dist = (packed_p & 0x7FFF).astype(jnp.int32) + 1
 

@@ -78,6 +78,33 @@ def _fetch_bucket(maxv: int, cap: int) -> int:
     return min(k, cap)
 
 
+def _tok_speed(level: int, n: int):
+    """Per-level tokenizer speed knobs (search_seg, search_overlap,
+    compact_seg).
+
+    Levels <= 5 window the candidate search (8K windows, 1K overlap):
+    ~45% faster device pipeline for ~4.6% ratio on the mixed corpus
+    (strided corpora unchanged — tools/ratiocheck.py sweep); levels >= 6
+    keep the full 32K-reach search, like the reference maps its levels
+    onto one hardware search and leaves ratio to the request path
+    (README.md:109-114). Compaction segmentation never changes the token
+    stream (tests/test_lz77_tpu.py) and is always on for 64K rows.
+    Env overrides: QZTPU_SEARCH_SEG / QZTPU_SEARCH_OV / QZTPU_COMPACT_SEG.
+    """
+    ss = int(os.environ.get("QZTPU_SEARCH_SEG", "-1"))
+    ov = int(os.environ.get("QZTPU_SEARCH_OV", "1024"))
+    cs = int(os.environ.get("QZTPU_COMPACT_SEG", "-1"))
+    if ss < 0:
+        ss = 8192 if level <= 5 else 0
+    if cs < 0:
+        cs = 1024
+    if ss >= n:
+        ss = 0
+    if cs >= n:
+        cs = 0
+    return ss, ov, cs
+
+
 class TpuEngine:
     """Chunk-batch engine backed by the JAX device runtime."""
 
@@ -111,21 +138,25 @@ class TpuEngine:
         return dict(min_match=4, max_match=32767, window=32768)
 
     # -- device stage ---------------------------------------------------------
-    def _tokenize_tiles(self, chunks: Sequence[bytes], n: int, algorithm: str):
-        """Yield (tile_start, np tokens (b,k) u32, np ntok (b,)) per tile.
+    def _tokenize_tiles(self, chunks: Sequence[bytes], n: int, algorithm: str,
+                        level: int = 1):
+        """Yield (tile_start, np tokens, np ntok, crcs) per tile.
 
         All tiles are dispatched eagerly; XLA's async queue overlaps the
         device work with the caller's host-side packing of earlier tiles.
         The fetch is two-phase: ntok (tiny) first, then only the used token
         prefix, rounded to a bucket so slice programs stay cached — device→
         host bandwidth is the scarce resource (SURVEY.md §5: host transfer
-        minimization is the pinned-memory analog).
+        minimization is the pinned-memory analog). With compact_seg the
+        tokens come back segment-compacted: (b, nseg, k) slices + (b, nseg)
+        counts, stitched by merge_segment_tokens in the pack stage.
         """
         import jax.numpy as jnp
         from ..ops.lz77 import lz77_tokenize
 
         params = self._tok_params(algorithm)
         seg = min(8192, n)
+        ss, ov, cs = _tok_speed(level, n)
         ndev = len(self.devices)
         mesh = None
         if ndev > 1:
@@ -154,14 +185,17 @@ class TpuEngine:
             if mesh is not None:
                 from .mesh import mesh_tokenize
                 toks, ntok, _stats = mesh_tokenize(
-                    mesh, data, lengths, n=n, **params)
+                    mesh, data, lengths, n=n, search_seg=ss,
+                    search_overlap=ov, **params)
                 dcrc = None
                 pending.append((start, len(tile), toks, ntok, dcrc,
                                 lengths))
                 continue
             darr = jnp.asarray(data)
             toks, ntok = lz77_tokenize(darr, jnp.asarray(lengths), n=n,
-                                       parse_seg=seg, **params)
+                                       parse_seg=seg, search_seg=ss,
+                                       search_overlap=ov, compact_seg=cs,
+                                       **params)
             dcrc = None
             if self._device_crc:
                 from ..ops.crc32_mxu import crc32_batch_device
@@ -174,7 +208,23 @@ class TpuEngine:
                 for i in range(nt):
                     if lens_np[i] == n:  # full rows only (padding-exact)
                         crcs[i] = int(dcrc_np[i])
-            ntok_np = np.asarray(ntok).ravel()       # (b,) per-row counts
+            ntok_np = np.asarray(ntok)
+            if ntok_np.ndim == 2 and ntok_np.shape[1] > 1:
+                # segment-compacted layout: fetch each segment's used
+                # prefix; fall back to the full row when a dense segment
+                # would make the sliced fetch larger than the row
+                b_, ncs = ntok_np.shape
+                cseg = n // ncs
+                kmax = int(ntok_np.max()) if nt else 0
+                k = _fetch_bucket(kmax, cseg)
+                if k * ncs >= n:
+                    yield start, nt, np.asarray(toks).reshape(
+                        b_, ncs, cseg), ntok_np, crcs
+                else:
+                    sl = toks.reshape(b_, ncs, cseg)[:, :, :k]
+                    yield start, nt, np.asarray(sl), ntok_np, crcs
+                continue
+            ntok_np = ntok_np.ravel()                # (b,) per-row counts
             kmax = int(ntok_np.max()) if nt else 0
             k = _fetch_bucket(kmax, n)
             yield start, nt, np.asarray(toks[:, :k]), ntok_np, crcs
@@ -211,11 +261,10 @@ class TpuEngine:
         device_pack = os.environ.get("QZTPU_DEVICE_PACK", "auto")
         use_device_pack = (device_pack == "1"
                            or (device_pack == "auto" and huffman_static))
-        # static packs shard over the dp mesh (rows are independent); the
-        # dynamic two-pass path is single-chip today — multi-chip dynamic
-        # sessions keep the mesh-sharded token path
+        # both device packers shard over the dp mesh (rows and per-row
+        # trees are independent; the dynamic host tree build sits between
+        # two sharded passes)
         if (use_device_pack and algorithm == "deflate"
-                and (huffman_static or len(self.devices) == 1)
                 and all(len(c) <= 65536 for c in chunks)):
             return self._compress_device_packed(chunks, finals, level, cnv,
                                                 huffman_static)
@@ -241,8 +290,14 @@ class TpuEngine:
 
         def pack_one(args):
             gi, chunk, row_toks, row_ntok, pre_crc = args
-            ntok = int(row_ntok)
-            toks = row_toks[:ntok]
+            if np.ndim(row_ntok) > 0:     # segment-compacted (nseg, k)
+                from ..ops.lz77 import merge_segment_tokens
+                toks = merge_segment_tokens(row_toks.ravel(), row_ntok,
+                                            row_toks.shape[-1])
+                ntok = len(toks)
+            else:
+                ntok = int(row_ntok)
+                toks = row_toks[:ntok]
             if algorithm == "deflate":
                 payload = native.lib.deflate_pack(chunk, toks, ntok,
                                                   final=finals[gi], mode=mode)
@@ -260,8 +315,8 @@ class TpuEngine:
 
         pool = host_pool()
         futures = []
-        for start, nt, toks, ntok, crcs in self._tokenize_tiles(chunks, n,
-                                                                algorithm):
+        for start, nt, toks, ntok, crcs in self._tokenize_tiles(
+                chunks, n, algorithm, level):
             for i in range(nt):
                 gi = start + i
                 futures.append(pool.submit(
@@ -291,11 +346,12 @@ class TpuEngine:
         # host engine at the top when it is absent)
         dynamic = not huffman_static
         n = _pow2_chunk_n(chunks)
+        ss, ov, _cs = _tok_speed(level, n)
 
         ndev = len(self.devices)
         mesh = None
-        if ndev > 1 and not dynamic:
-            from .mesh import make_mesh, mesh_pack_device
+        if ndev > 1:
+            from .mesh import make_mesh
             mesh = make_mesh(self.devices)
 
         pending = []
@@ -305,32 +361,45 @@ class TpuEngine:
             if mesh is not None and b % ndev:
                 b = ((b + ndev - 1) // ndev) * ndev  # divisible batch
             data, lengths = _stage_tile(tile, b, n)
-            if mesh is not None:
-                words, nbits = mesh_pack_device(mesh, data, lengths, n=n)
+            if mesh is not None and not dynamic:
+                from .mesh import mesh_pack_device
+                words, nbits = mesh_pack_device(mesh, data, lengths, n=n,
+                                                search_seg=ss,
+                                                search_overlap=ov)
                 pending.append((start, len(tile), words, nbits, None, None))
                 continue
-            dd, ll = jnp.asarray(data), jnp.asarray(lengths)
             if dynamic:
                 # pass 1 with ONE tile of lookahead: tile k+1's analysis
                 # overlaps tile k's host tree building, while at most two
                 # tiles' dense planes live on device at a time (each
                 # pending tile pins ~170MB of planes at TILE_B x 64K)
-                hist, ml, dist, taken, lit = deflate_analyze_hist(dd, ll,
-                                                                  n=n)
+                if mesh is not None:
+                    from .mesh import mesh_analyze_hist
+                    hist, ml, dist, taken, lit = mesh_analyze_hist(
+                        mesh, data, lengths, n=n, search_seg=ss,
+                        search_overlap=ov)
+                    dd = data          # pass 2 reshards the numpy batch
+                else:
+                    dd, ll = jnp.asarray(data), jnp.asarray(lengths)
+                    hist, ml, dist, taken, lit = deflate_analyze_hist(
+                        dd, ll, n=n, search_seg=ss, search_overlap=ov)
                 pending.append((start, len(tile), "dyn1",
                                 (dd, hist, ml, dist, taken, lit)))
                 ready = [i for i, it in enumerate(pending)
                          if len(it) == 4 and it[2] == "dyn1"]
                 if len(ready) > 1:
-                    self._dyn_pass2(pending, ready[0], n)
+                    self._dyn_pass2(pending, ready[0], n, mesh)
             else:
-                words, nbits = deflate_pack_device(dd, ll, n=n)
+                dd, ll = jnp.asarray(data), jnp.asarray(lengths)
+                words, nbits = deflate_pack_device(dd, ll, n=n,
+                                                   search_seg=ss,
+                                                   search_overlap=ov)
                 pending.append((start, len(tile), words, nbits, None, None))
 
         # drain the remaining dynamic pass-1 tiles
         for idx, item in enumerate(pending):
             if len(item) == 4 and item[2] == "dyn1":
-                self._dyn_pass2(pending, idx, n)
+                self._dyn_pass2(pending, idx, n, mesh)
 
         results: List[Optional[Tuple[bytes, int]]] = [None] * len(chunks)
         from ..engines import host_pool
@@ -380,10 +449,12 @@ class TpuEngine:
             results[gi] = (payload, crc)
         return results  # type: ignore[return-value]
 
-    def _dyn_pass2(self, pending, idx, n):
+    def _dyn_pass2(self, pending, idx, n, mesh=None):
         """Dynamic device pack pass 2 for one pending tile: fetch its
         histograms, build trees/headers on the host (qz_dyn_plan), and
-        dispatch the pack graph — releasing the tile's pass-1 planes."""
+        dispatch the pack graph — releasing the tile's pass-1 planes.
+        With a mesh, pass 2 shards over ``dp`` like pass 1 (trees are
+        per-row operands)."""
         import jax.numpy as jnp
         from .. import native as _native
         from ..ops.deflate_pack import deflate_pack_dynamic
@@ -401,11 +472,18 @@ class TpuEngine:
             df = hist_np[i, 286:].astype(np.uint32)
             packs[i], dpacks[i], hdrs[i], hbits[i] = \
                 _native.lib.dyn_plan(lf, df)
-        words, nbits = deflate_pack_dynamic(
-            dd, ml, dist, taken, lit,
-            jnp.asarray(packs.astype(np.uint32)),
-            jnp.asarray(dpacks.astype(np.uint32)),
-            jnp.asarray(hbits), n=n)
+        if mesh is not None:
+            from .mesh import mesh_pack_dynamic
+            words, nbits = mesh_pack_dynamic(
+                mesh, dd, ml, dist, taken, lit,
+                packs.astype(np.uint32), dpacks.astype(np.uint32),
+                hbits, n=n)
+        else:
+            words, nbits = deflate_pack_dynamic(
+                dd, ml, dist, taken, lit,
+                jnp.asarray(packs.astype(np.uint32)),
+                jnp.asarray(dpacks.astype(np.uint32)),
+                jnp.asarray(hbits), n=n)
         pending[idx] = (start, nt, words, nbits, hdrs, packs)
 
     def _compress_lz4_device(self, chunks, cnv):

@@ -10,6 +10,11 @@ is a tiny psum of per-shard stats — compressed members are gathered to host
 in submission order for stitching (the doCompressOut ordered-retirement
 analog, src/qatzip.c:1733-1750).
 
+All three device compress paths shard: tokenize, static device pack, and
+the two-pass dynamic device pack (histograms and trees are per-row, so
+both passes shard over ``dp`` with no collectives — the host tree build
+between them sees the gathered (B, 316) histograms, which are tiny).
+
 Scaling notes: chunks are independent, so ICI traffic is O(stats) — the
 design scales linearly until host↔device bandwidth saturates, matching the
 run_perf_test.sh model of summing per-worker Gbps (SURVEY.md §6).
@@ -18,7 +23,7 @@ run_perf_test.sh model of summing per-worker Gbps (SURVEY.md §6).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -38,7 +43,7 @@ def make_mesh(devices=None, axis: str = "dp"):
 
 @functools.lru_cache(maxsize=32)
 def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
-                      window: int):
+                      window: int, ss: int, ov: int):
     """Compile the mesh-sharded tokenize step (cached per mesh+shape)."""
     import jax
     import jax.numpy as jnp
@@ -53,7 +58,8 @@ def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
 
     def step(data, lengths):
         toks, ntok = lz77_tokenize(data, lengths, n=n, min_match=min_match,
-                                   max_match=max_match, window=window)
+                                   max_match=max_match, window=window,
+                                   search_seg=ss, search_overlap=ov)
         # cross-chip stats psum — the per-instance counter aggregation
         # (src/qatzip_counter.c:56-81) done as a collective
         total_tok = jnp.sum(ntok)
@@ -64,8 +70,16 @@ def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
                    out_shardings=(data_s, ntok_s, None))
 
 
+def _mesh_platform(mesh) -> str:
+    """The platform the mesh's devices run on — drives the Pallas-vs-
+    scatter assembly choice independent of jax.default_backend() (the
+    driver's virtual multi-chip dryrun runs a CPU mesh under an axon
+    default backend)."""
+    return mesh.devices.flat[0].platform
+
+
 @functools.lru_cache(maxsize=32)
-def _sharded_pack(mesh_key, n: int):
+def _sharded_pack(mesh_key, n: int, ss: int, ov: int, pallas: str):
     """Compile the mesh-sharded full-device deflate pack (static codes):
     rows are independent, so the batch axis shards over ``dp`` with no
     collectives — the multi-chip leg of the single-call-compress path."""
@@ -79,21 +93,94 @@ def _sharded_pack(mesh_key, n: int):
     len_s = NamedSharding(mesh, P("dp"))
 
     def step(data, lengths):
-        return deflate_pack_device(data, lengths, n=n)
+        return deflate_pack_device(data, lengths, n=n, search_seg=ss,
+                                   search_overlap=ov, pallas=pallas)
 
     return jax.jit(step, in_shardings=(data_s, len_s),
                    out_shardings=(data_s, len_s))
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_hist(mesh_key, n: int, ss: int, ov: int):
+    """Compile dynamic pass 1 (parse + per-chunk histogram) over ``dp``."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_key.mesh
+    from ..ops.deflate_pack import deflate_analyze_hist
+
+    data_s = NamedSharding(mesh, P("dp", None))
+    len_s = NamedSharding(mesh, P("dp"))
+
+    def step(data, lengths):
+        return deflate_analyze_hist(data, lengths, n=n, search_seg=ss,
+                                    search_overlap=ov)
+
+    return jax.jit(step, in_shardings=(data_s, len_s),
+                   out_shardings=(data_s,) * 5)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_dyn_pack(mesh_key, n: int, pallas: str):
+    """Compile dynamic pass 2 (per-chunk-tree code lookup + bit-pack)
+    over ``dp`` — trees are per-row (B, 286)/(B, 30) operands, so they
+    shard with the batch."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_key.mesh
+    from ..ops.deflate_pack import deflate_pack_dynamic
+
+    row_s = NamedSharding(mesh, P("dp", None))
+    vec_s = NamedSharding(mesh, P("dp"))
+
+    def step(data, ml, dist, taken, lit, lit_pack, dist_pack, hdr_bits):
+        return deflate_pack_dynamic(data, ml, dist, taken, lit, lit_pack,
+                                    dist_pack, hdr_bits, n=n,
+                                    pallas=pallas)
+
+    return jax.jit(step,
+                   in_shardings=(row_s,) * 7 + (vec_s,),
+                   out_shardings=(row_s, vec_s))
+
+
 def mesh_pack_device(mesh, data: np.ndarray, lengths: np.ndarray, *,
-                     n: int) -> Tuple[np.ndarray, np.ndarray]:
+                     n: int, search_seg: int = 0, search_overlap: int = 1024,
+                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Static-Huffman device pack sharded over the ``dp`` axis. The
     batch's leading dim must be divisible by the mesh size."""
     import jax.numpy as jnp
 
-    step = _sharded_pack(_MeshKey(mesh), n)
+    from ..ops.deflate_pack import _pallas_mode
+    step = _sharded_pack(_MeshKey(mesh), n, search_seg, search_overlap,
+                         _pallas_mode(_mesh_platform(mesh)))
     words, nbits = step(jnp.asarray(data), jnp.asarray(lengths))
     return words, nbits
+
+
+def mesh_analyze_hist(mesh, data: np.ndarray, lengths: np.ndarray, *,
+                      n: int, search_seg: int = 0,
+                      search_overlap: int = 1024):
+    """Dynamic pass 1 sharded over ``dp``: returns DEVICE arrays
+    (hist, ml, dist, taken, lit) — the parse planes stay sharded on
+    device for pass 2; only the tiny histograms go to host."""
+    import jax.numpy as jnp
+
+    step = _sharded_hist(_MeshKey(mesh), n, search_seg, search_overlap)
+    return step(jnp.asarray(data), jnp.asarray(lengths))
+
+
+def mesh_pack_dynamic(mesh, data, ml, dist, taken, lit, lit_pack,
+                      dist_pack, hdr_bits, *, n: int):
+    """Dynamic pass 2 sharded over ``dp``: device arrays in (the pass-1
+    planes), per-row trees h2d-sharded with the batch."""
+    import jax.numpy as jnp
+
+    from ..ops.deflate_pack import _pallas_mode
+    step = _sharded_dyn_pack(_MeshKey(mesh), n,
+                             _pallas_mode(_mesh_platform(mesh)))
+    return step(data, ml, dist, taken, lit, jnp.asarray(lit_pack),
+                jnp.asarray(dist_pack), jnp.asarray(hdr_bits))
 
 
 class _MeshKey:
@@ -113,7 +200,9 @@ class _MeshKey:
 
 def mesh_tokenize(mesh, data: np.ndarray, lengths: np.ndarray, *, n: int,
                   min_match: int = 4, max_match: int = 258,
-                  window: int = 32768) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                  window: int = 32768, search_seg: int = 0,
+                  search_overlap: int = 1024,
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Tokenize a chunk batch sharded over the mesh's ``dp`` axis.
 
     The batch's leading dim must be divisible by the mesh size (pad with
@@ -121,6 +210,7 @@ def mesh_tokenize(mesh, data: np.ndarray, lengths: np.ndarray, *, n: int,
     """
     import jax.numpy as jnp
 
-    step = _sharded_tokenize(_MeshKey(mesh), n, min_match, max_match, window)
+    step = _sharded_tokenize(_MeshKey(mesh), n, min_match, max_match,
+                             window, search_seg, search_overlap)
     toks, ntok, stats = step(jnp.asarray(data), jnp.asarray(lengths))
     return np.asarray(toks), np.asarray(ntok), np.asarray(stats)

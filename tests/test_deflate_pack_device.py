@@ -287,9 +287,8 @@ def test_device_packers_property_fuzz():
 
 def test_dynamic_engine_path_single_device(monkeypatch):
     """Drive _compress_device_packed's dynamic two-pass branch through a
-    single-device engine (the suite's 8-virtual-device mesh routes
-    dynamic sessions to the token path): multi-tile lookahead, stored
-    guard, and framing must produce stock-zlib-exact members."""
+    single-device engine: multi-tile lookahead, stored guard, and framing
+    must produce stock-zlib-exact members."""
     from qatzip_tpu import native
     if native.lib is None:
         pytest.skip("native lib unavailable")
@@ -306,6 +305,36 @@ def test_dynamic_engine_path_single_device(monkeypatch):
         b"tail chunk " * 100,
         b"",
     ]
+    results = eng.compress_chunks(chunks, level=1, algorithm="deflate",
+                                  huffman_static=False)
+    for chunk, (payload, crc) in zip(chunks, results):
+        assert crc == (zlib.crc32(chunk) & 0xFFFFFFFF)
+        assert zlib.decompressobj(-15).decompress(payload) == chunk
+
+
+def test_dynamic_engine_path_mesh(monkeypatch):
+    """Dynamic two-pass device pack sharded over the full 8-device mesh
+    (VERDICT r2 item 3): pass-1 histograms and pass-2 per-row trees both
+    shard over ``dp``; every member must stay stock-zlib-exact and the
+    batch pad to a mesh-divisible size must not leak into results."""
+    from qatzip_tpu import native
+    if native.lib is None:
+        pytest.skip("native lib unavailable")
+    monkeypatch.setenv("QZTPU_DEVICE_PACK", "1")
+    import jax
+    from qatzip_tpu.parallel.dispatch import TpuEngine
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.default_rng(11)
+    eng = TpuEngine(devs, "deflate")
+    chunks = [
+        (b"mesh dyn engine " * 5000)[:65536],
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), 65536).tobytes(),
+        rng.integers(0, 256, 65536, dtype=np.uint8).tobytes(),  # stored
+        b"short tail " * 50,
+        b"",
+    ]  # 5 chunks pad to 8 mesh rows
     results = eng.compress_chunks(chunks, level=1, algorithm="deflate",
                                   huffman_static=False)
     for chunk, (payload, crc) in zip(chunks, results):

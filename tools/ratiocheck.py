@@ -41,6 +41,7 @@ def main():
     p.add_argument("--seg", type=int, default=8192)
     p.add_argument("--probes", type=int, default=6)
     p.add_argument("--search-seg", type=int, default=0)
+    p.add_argument("--search-overlap", type=int, default=1024)
     p.add_argument("--mb", type=int, default=8)
     p.add_argument("--corpus", default="mixed", choices=["mixed", "strided"])
     args = p.parse_args()
@@ -71,7 +72,8 @@ def main():
     toks, ntok = lz77_tokenize(jnp.asarray(data), jnp.asarray(lengths), n=n,
                                parse_seg=args.seg, ctx_words=args.ctx,
                                probes=args.probes,
-                               search_seg=args.search_seg)
+                               search_seg=args.search_seg,
+                               search_overlap=args.search_overlap)
     toks = np.asarray(toks)
     ntok = np.asarray(ntok)
     total = 0
@@ -89,6 +91,7 @@ def main():
     print(json.dumps({
         "corpus": args.corpus, "ctx": args.ctx, "seg": args.seg,
         "probes": args.probes, "search_seg": args.search_seg,
+        "search_overlap": args.search_overlap,
         "mb": b * n >> 20,
         "ratio": round(ours, 4), "zlib_l1_ratio": round(zratio, 4),
         "vs_zlib_l1": round(ours / zratio, 4),
