@@ -52,15 +52,22 @@ from .lz77 import _analyze
 
 
 def _pallas_mode(platform: str = None) -> str:
-    """Assembly backend for the group-window placement: "kernel" (Mosaic
-    TPU kernel, ops/pallas_pack.py), "interpret" (same kernel, Pallas
-    interpreter — CPU-backend tests), or "scatter" (XLA scatter-add).
-    QZTPU_PALLAS=auto (default) picks the kernel on TPU-class backends
-    and scatter on CPU; =1 forces the kernel (interpreted on CPU);
-    =0 forces scatter. ``platform`` pins the decision to the platform the
-    computation actually runs on (a CPU mesh under an axon/TPU default
-    backend — the driver's virtual multi-chip dryrun — must not pick the
-    Mosaic kernel)."""
+    """Mosaic-kernel backend selection (ops/pallas_pack.py): "scatter"
+    (pure XLA), "interpret" (all kernels via the Pallas interpreter —
+    CPU-backend tests), "kernel" (all kernels compiled), or
+    "kernel:<set>" (compiled subset, e.g. "kernel:k1,k3").
+
+    QZTPU_PALLAS=auto (default) picks the measured-winner subset on
+    TPU-class backends — k1 (static window assembly) and k3 (dynamic
+    code lookup) beat their XLA formulations on v5e, while k2 (fused
+    candidate search) and k4 (VMEM histogram) currently lose to the
+    segmented lax.sort stack / strip reduce (devserver probe 64:
+    tok 144 vs 175 MB/s, hist 134 vs 174 MB/s) — and scatter on CPU.
+    =1 forces all kernels (interpreted on CPU); =0 forces scatter; an
+    explicit list ("k1,k2,k3,k4") forces that compiled subset.
+    ``platform`` pins the decision to the platform the computation
+    actually runs on (a CPU mesh under an axon/TPU default backend —
+    the driver's virtual multi-chip dryrun — must not pick Mosaic)."""
     v = os.environ.get("QZTPU_PALLAS", "auto")
     if v == "0":
         return "scatter"
@@ -68,7 +75,20 @@ def _pallas_mode(platform: str = None) -> str:
         platform = jax.default_backend()
     if platform == "cpu":
         return "interpret" if v == "1" else "scatter"
-    return "kernel"
+    if v == "auto":
+        return "kernel:k1,k3"
+    if v == "1":
+        return "kernel"
+    return "kernel:" + v
+
+
+def _pk(pallas: str, k: str) -> bool:
+    """Is Mosaic kernel ``k`` enabled under mode string ``pallas``?
+    k1 = static window assembly, k2 = fused candidate search,
+    k3 = dynamic code lookup, k4 = symbol histogram."""
+    if pallas in ("kernel", "interpret"):
+        return True
+    return pallas.startswith("kernel:") and k in pallas[7:].split(",")
 
 GROUP = 256          # positions per pack group
 # worst case bits per group: 256 literals x 9 bits = 2304, plus a 31-bit
@@ -187,7 +207,8 @@ def _deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     iota, ml, dist, taken, lit, valid = _analyze(
         data, lengths, n=n, min_match=4, max_match=258, window=32768,
         parse_seg=parse_seg, ctx_words=ctx_words, probes=probes,
-        search_seg=search_seg, search_overlap=search_overlap)
+        search_seg=search_seg, search_overlap=search_overlap,
+        pallas=pallas)
 
     mv, mn = _match_emission(ml, dist)
     lv, ln = _lit_emission(data)
@@ -257,7 +278,7 @@ def _group_pack_assemble(bits, nbits, off, b: int, n: int, max_words: int,
     # integer add == bitwise or
     grp = grp.reshape(b, ngroups, group_w)
     wo = gbase.reshape(b, ngroups)              # word offset per group
-    if pallas != "scatter":
+    if _pk(pallas, "k1"):
         from .pallas_pack import assemble_windows
         return assemble_windows(grp, wo, max_words=max_words,
                                 interpret=(pallas == "interpret"))
@@ -314,33 +335,51 @@ def _dist_symbol(dist):
     return dsym, e_d, dextra
 
 
-@functools.partial(jax.jit, static_argnames=("n", "parse_seg", "ctx_words",
-                                             "probes", "search_seg",
-                                             "search_overlap"))
 def deflate_analyze_hist(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                          parse_seg: int = 8192, ctx_words: int = 4,
                          probes: int = 6, search_seg: int = 0,
-                         search_overlap: int = 1024):
+                         search_overlap: int = 1024, pallas: str = None):
     """Pass 1: parse + per-chunk symbol histogram (B, 316): lit/len
     symbols 0..285 followed by distance symbols 286..315 — both trees are
     built per chunk on the host from this (qz_dyn_plan)."""
+    if pallas is None:
+        pallas = _pallas_mode()      # read per call, outside the jit cache
+    return _deflate_analyze_hist(data, lengths, n=n, parse_seg=parse_seg,
+                                 ctx_words=ctx_words, probes=probes,
+                                 search_seg=search_seg,
+                                 search_overlap=search_overlap, pallas=pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "parse_seg", "ctx_words",
+                                             "probes", "search_seg",
+                                             "search_overlap", "pallas"))
+def _deflate_analyze_hist(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
+                          parse_seg: int, ctx_words: int, probes: int,
+                          search_seg: int, search_overlap: int, pallas: str):
     iota, ml, dist, taken, lit, valid = _analyze(
         data, lengths, n=n, min_match=4, max_match=258, window=32768,
         parse_seg=parse_seg, ctx_words=ctx_words, probes=probes,
-        search_seg=search_seg, search_overlap=search_overlap)
+        search_seg=search_seg, search_overlap=search_overlap,
+        pallas=pallas)
     lsym, _e, _x = _len_symbol(ml)
     dsym, _ed, _dx = _dist_symbol(dist)
     sym = jnp.where(taken, lsym,
                     jnp.where(lit, data.astype(jnp.int32), 320))
     dsym_m = jnp.where(taken, 286 + dsym, 320)
-    hist_parts = []
-    for s0 in range(0, 320, 32):   # fused compare-reduce, 32-symbol strips
-        strip = jnp.arange(s0, s0 + 32, dtype=jnp.int32)
-        hist_parts.append(jnp.sum(
-            (sym[:, :, None] == strip[None, None, :]).astype(jnp.int32)
-            + (dsym_m[:, :, None] == strip[None, None, :]).astype(jnp.int32),
-            axis=1))
-    hist = jnp.concatenate(hist_parts, axis=1)[:, :316]
+    if _pk(pallas, "k4") and n % 128 == 0:
+        from .pallas_pack import symbol_histogram
+        hist = symbol_histogram(sym, dsym_m, n=n,
+                                interpret=(pallas == "interpret"))
+    else:
+        hist_parts = []
+        for s0 in range(0, 320, 32):   # fused compare-reduce strips
+            strip = jnp.arange(s0, s0 + 32, dtype=jnp.int32)
+            hist_parts.append(jnp.sum(
+                (sym[:, :, None] == strip[None, None, :]).astype(jnp.int32)
+                + (dsym_m[:, :, None]
+                   == strip[None, None, :]).astype(jnp.int32),
+                axis=1))
+        hist = jnp.concatenate(hist_parts, axis=1)[:, :316]
     return hist, ml, dist, taken, lit
 
 
@@ -381,7 +420,7 @@ def _deflate_pack_dynamic(data: jnp.ndarray, ml, dist, taken, lit,
                     jnp.where(lit, data.astype(jnp.int32), 286))
     dsym, e_d, dextra = _dist_symbol(dist)
 
-    if pallas != "scatter" and n % 128 == 0:
+    if _pk(pallas, "k3") and n % 128 == 0:
         # --- Mosaic lane-gather table lookup (ops/pallas_pack.py) ---------
         from .pallas_pack import huffman_lookup
         pack_by_pos, dpack = huffman_lookup(

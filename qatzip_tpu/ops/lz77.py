@@ -135,7 +135,8 @@ def _parse_scan(is_match, ml, seg: int, nseg: int, b: int):
 
 def _analyze(data, lengths, *, n, min_match, max_match, window,
              parse_seg, ctx_words, probes, lz4_rules: bool = False,
-             search_seg: int = 0, search_overlap: int = 1024):
+             search_seg: int = 0, search_overlap: int = 1024,
+             pallas: str = "scatter"):
     """Match finding + greedy parse — the shared device analysis stages.
 
     Returns dense (B, n) planes: iota, ml, dist, taken (match emitted at
@@ -220,6 +221,28 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
         relpos = iota.astype(jnp.uint32)
         key = (h << pbits) | relpos
         ctx_in = ctx
+    # the fused Pallas kernel (sort + probe + unsort in VMEM) replaces
+    # the whole sorted-domain stack when the window fits its packing
+    # (pos 13 + ml 5 + dist 13 bits); lax.sort otherwise
+    from .deflate_pack import _pk
+    use_kernel = (_pk(pallas, "k2") and segmented and W <= 8192
+                  and ctx_words <= 4 and probes < 64 and min_match <= 16
+                  and window >= W)
+    if use_kernel:
+        from .pallas_pack import candidate_search
+        kv = candidate_search(key, ctx_in, w=W, probes=probes,
+                              ctx_words=ctx_words, min_match=min_match,
+                              pbits=pbits,
+                              interpret=(pallas == "interpret"))
+        packed_p = ((((kv >> 13) & jnp.uint32(0x1F)) << 15)
+                    | (kv & jnp.uint32(0x1FFF)))
+        packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
+        packed_p = packed_p.reshape(b, nwin * own)[:, :n]
+        ml = (packed_p >> 15).astype(jnp.int32)
+        dist = (packed_p & 0x7FFF).astype(jnp.int32) + 1
+        return _analyze_tail(data, lengths, iota, ml, dist, b, n,
+                             min_match, max_match, ctx_bytes, parse_seg,
+                             lz4_rules)
     sorted_ops = jax.lax.sort((key, *ctx_in), dimension=1, num_keys=1)
     key_s, ctx_s = sorted_ops[0], sorted_ops[1:]
     pos_s = (key_s & ((1 << pbits) - 1)).astype(jnp.int32)
@@ -276,7 +299,15 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
         packed_p = packed_p.reshape(b, nwin * own)[:, :n]
     ml = (packed_p >> 15).astype(jnp.int32)
     dist = (packed_p & 0x7FFF).astype(jnp.int32) + 1
+    return _analyze_tail(data, lengths, iota, ml, dist, b, n, min_match,
+                         max_match, ctx_bytes, parse_seg, lz4_rules)
 
+
+def _analyze_tail(data, lengths, iota, ml, dist, b, n, min_match,
+                  max_match, ctx_bytes, parse_seg, lz4_rules):
+    """Post-candidate stages shared by the lax.sort and Pallas search
+    paths: match extension, lazy demotion, parse segmentation, greedy
+    parse."""
     # --- saturation-doubling extension (pure shifts) ----------------------
     cap = ctx_bytes
     while cap < max_match and cap < n:
@@ -324,19 +355,37 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     return iota, ml, dist, taken, lit, valid
 
 
-@functools.partial(jax.jit, static_argnames=("n", "min_match", "max_match",
-                                             "window", "parse_seg",
-                                             "ctx_words", "probes",
-                                             "search_seg",
-                                             "search_overlap",
-                                             "compact_seg"))
 def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                   min_match: int = 4, max_match: int = 258,
                   window: int = 32768, parse_seg: int = 8192,
                   ctx_words: int = CTX_WORDS, probes: int = 6,
                   search_seg: int = 0, search_overlap: int = 1024,
-                  compact_seg: int = 0,
+                  compact_seg: int = 0, pallas: str = None,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if pallas is None:
+        from .deflate_pack import _pallas_mode
+        pallas = _pallas_mode()      # read per call, outside the jit cache
+    return _lz77_tokenize(data, lengths, n=n, min_match=min_match,
+                          max_match=max_match, window=window,
+                          parse_seg=parse_seg, ctx_words=ctx_words,
+                          probes=probes, search_seg=search_seg,
+                          search_overlap=search_overlap,
+                          compact_seg=compact_seg, pallas=pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "min_match", "max_match",
+                                             "window", "parse_seg",
+                                             "ctx_words", "probes",
+                                             "search_seg",
+                                             "search_overlap",
+                                             "compact_seg", "pallas"))
+def _lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
+                   min_match: int = 4, max_match: int = 258,
+                   window: int = 32768, parse_seg: int = 8192,
+                   ctx_words: int = CTX_WORDS, probes: int = 6,
+                   search_seg: int = 0, search_overlap: int = 1024,
+                   compact_seg: int = 0, pallas: str = "scatter",
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tokenize a batch of chunks.
 
     TPU cost model (measured on v5e): sorts and shifts are fast; arbitrary
@@ -375,7 +424,7 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
         data, lengths, n=n, min_match=min_match, max_match=max_match,
         window=window, parse_seg=parse_seg, ctx_words=ctx_words,
         probes=probes, search_seg=search_seg,
-        search_overlap=search_overlap)
+        search_overlap=search_overlap, pallas=pallas)
     b = data.shape[0]
 
     # --- literal runs over the POST-parse literal mask --------------------

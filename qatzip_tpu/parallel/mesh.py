@@ -43,7 +43,7 @@ def make_mesh(devices=None, axis: str = "dp"):
 
 @functools.lru_cache(maxsize=32)
 def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
-                      window: int, ss: int, ov: int):
+                      window: int, ss: int, ov: int, pallas: str):
     """Compile the mesh-sharded tokenize step (cached per mesh+shape)."""
     import jax
     import jax.numpy as jnp
@@ -59,7 +59,8 @@ def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
     def step(data, lengths):
         toks, ntok = lz77_tokenize(data, lengths, n=n, min_match=min_match,
                                    max_match=max_match, window=window,
-                                   search_seg=ss, search_overlap=ov)
+                                   search_seg=ss, search_overlap=ov,
+                                   pallas=pallas)
         # cross-chip stats psum — the per-instance counter aggregation
         # (src/qatzip_counter.c:56-81) done as a collective
         total_tok = jnp.sum(ntok)
@@ -101,7 +102,7 @@ def _sharded_pack(mesh_key, n: int, ss: int, ov: int, pallas: str):
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_hist(mesh_key, n: int, ss: int, ov: int):
+def _sharded_hist(mesh_key, n: int, ss: int, ov: int, pallas: str):
     """Compile dynamic pass 1 (parse + per-chunk histogram) over ``dp``."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -114,7 +115,7 @@ def _sharded_hist(mesh_key, n: int, ss: int, ov: int):
 
     def step(data, lengths):
         return deflate_analyze_hist(data, lengths, n=n, search_seg=ss,
-                                    search_overlap=ov)
+                                    search_overlap=ov, pallas=pallas)
 
     return jax.jit(step, in_shardings=(data_s, len_s),
                    out_shardings=(data_s,) * 5)
@@ -166,7 +167,9 @@ def mesh_analyze_hist(mesh, data: np.ndarray, lengths: np.ndarray, *,
     device for pass 2; only the tiny histograms go to host."""
     import jax.numpy as jnp
 
-    step = _sharded_hist(_MeshKey(mesh), n, search_seg, search_overlap)
+    from ..ops.deflate_pack import _pallas_mode
+    step = _sharded_hist(_MeshKey(mesh), n, search_seg, search_overlap,
+                         _pallas_mode(_mesh_platform(mesh)))
     return step(jnp.asarray(data), jnp.asarray(lengths))
 
 
@@ -210,7 +213,9 @@ def mesh_tokenize(mesh, data: np.ndarray, lengths: np.ndarray, *, n: int,
     """
     import jax.numpy as jnp
 
+    from ..ops.deflate_pack import _pallas_mode
     step = _sharded_tokenize(_MeshKey(mesh), n, min_match, max_match,
-                             window, search_seg, search_overlap)
+                             window, search_seg, search_overlap,
+                             _pallas_mode(_mesh_platform(mesh)))
     toks, ntok, stats = step(jnp.asarray(data), jnp.asarray(lengths))
     return np.asarray(toks), np.asarray(ntok), np.asarray(stats)
