@@ -286,15 +286,31 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
         dist_s = jnp.where(better, distd, dist_s)
 
     # --- un-sort by position (a permutation → exact) ----------------------
-    # pack (ml, dist-1) into one operand: sort compile/run cost grows with
-    # operand count (ml needs <=15 bits even for LZ4's cap, dist-1 <=15
-    # bits for the 32K window)
+    # segmented windows (pbits <= 13, ml <= ctx_bytes <= 31, dist < W):
+    # position, length and distance all fit one u32 with position as the
+    # TOP bits, so the un-sort is a SINGLE-operand sort of
+    # (pos << (pbits+5)) | (ml << pbits) | (dist-1) — each extra lax.sort
+    # operand costs ~2-4 ms per 16 MB batch on v5e (tools/devsweep.py)
+    if segmented and 2 * pbits + 5 <= 31 and ctx_bytes <= 31:
+        packed_p = jax.lax.sort(
+            (pos_s.astype(jnp.uint32) << (pbits + 5))
+            | (ml_s.astype(jnp.uint32) << pbits)
+            | (dist_s - 1).astype(jnp.uint32))
+        # each window owns relpos in [ov, W); windows at stride own tile
+        # the row (the last window may own a partial tail — trim to n)
+        packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
+        packed_p = packed_p.reshape(b, nwin * own)[:, :n]
+        ml = ((packed_p >> pbits) & 0x1F).astype(jnp.int32)
+        dist = (packed_p & (W - 1)).astype(jnp.int32) + 1
+        return _analyze_tail(data, lengths, iota, ml, dist, b, n,
+                             min_match, max_match, ctx_bytes, parse_seg,
+                             lz4_rules)
+    # full-row search: pack (ml, dist-1) into one carried operand (ml
+    # <=15 bits even for LZ4's cap, dist-1 <=15 bits for the 32K window)
     packed = (ml_s.astype(jnp.uint32) << 15) | (dist_s - 1).astype(jnp.uint32)
     _, packed_p = jax.lax.sort(
         (pos_s.astype(jnp.uint32), packed), dimension=1, num_keys=1)
     if segmented:
-        # each window owns relpos in [ov, W); windows at stride own tile
-        # the row (the last window may own a partial tail — trim to n)
         packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
         packed_p = packed_p.reshape(b, nwin * own)[:, :n]
     ml = (packed_p >> 15).astype(jnp.int32)
@@ -309,13 +325,21 @@ def _analyze_tail(data, lengths, iota, ml, dist, b, n, min_match,
     paths: match extension, lazy demotion, parse segmentation, greedy
     parse."""
     # --- saturation-doubling extension (pure shifts) ----------------------
+    # (ml, dist-1) ride ONE u32 plane (ml <= max_match <= 32768 in the top
+    # half, dist-1 <= 65535 below) so each doubling round moves half the
+    # HBM bytes of the two-plane form
+    p = (ml.astype(jnp.uint32) << 16) | (dist - 1).astype(jnp.uint32)
     cap = ctx_bytes
     while cap < max_match and cap < n:
-        nml = _shl(ml, cap, 0)
-        ndist = _shl(dist, cap, 0)
-        cont = (ml == cap) & (ndist == dist) & (nml >= min_match)
-        ml = jnp.where(cont, jnp.minimum(cap + nml, max_match), ml)
+        np_ = _shl(p, cap, 0)
+        nml = (np_ >> 16).astype(jnp.int32)
+        cont = (((p >> 16) == cap) & (((np_ ^ p) & 0xFFFF) == 0)
+                & (nml >= min_match))
+        ext = jnp.minimum(cap + nml, max_match).astype(jnp.uint32)
+        p = jnp.where(cont, (ext << 16) | (p & 0xFFFF), p)
         cap *= 2
+    ml = (p >> 16).astype(jnp.int32)
+    dist = (p & 0xFFFF).astype(jnp.int32) + 1
 
     ml = jnp.minimum(ml, lengths[:, None] - iota)
     is_match = ml >= min_match
@@ -433,15 +457,18 @@ def _lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     # (a run token never crosses one), so lr only needs exactness up to
     # RUN_SPLIT — 13 doubling rounds instead of 17, and no backward-rank
     # plane at all (costs a handful of extra tokens on multi-KB runs).
-    lr = lit.astype(jnp.int32)
+    # int16 planes: lr <= RUN_SPLIT = 8192 fits, and each doubling round
+    # moves half the HBM bytes of the int32 form
+    lr = lit.astype(jnp.int16)
 
     def lr_round(k, lr):
         span = jnp.int32(1) << k
         rolled = jnp.roll(lr, -span, axis=1)
-        nlr = jnp.where(iota + span < n, rolled, 0)
-        return jnp.where(lr == span, lr + nlr, lr)
+        nlr = jnp.where(iota + span < n, rolled, jnp.int16(0))
+        return jnp.where(lr == span.astype(jnp.int16), lr + nlr, lr)
 
     lr = jax.lax.fori_loop(0, RUN_SPLIT.bit_length(), lr_round, lr)
+    lr = lr.astype(jnp.int32)
 
     # run tokens at run starts and at RUN_SPLIT-aligned positions inside
     # a run; lengths stop at the next boundary so the stream stays
