@@ -109,11 +109,15 @@ def _rev16(x, nbits):
 
 
 def _bitlen(x, maxbits: int):
-    """floor(log2(x))+1 for x >= 1 (vector compares, no clz needed)."""
-    bl = jnp.zeros_like(x)
-    for k in range(maxbits):
-        bl = bl + (x >= (1 << k)).astype(x.dtype)
-    return bl
+    """floor(log2(x))+1 for x >= 1, else 0 — via the f32 exponent field
+    (exact for x < 2^24; callers pass x <= 32768). One convert + shift
+    instead of a ``maxbits``-deep compare-add chain: the chain made the
+    emission stage the second-largest pack cost (21 ms per 16 MB batch
+    on v5e, devserver probe 73)."""
+    assert maxbits <= 24
+    f = x.astype(jnp.float32)
+    e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) & 0xFF
+    return jnp.where(x >= 1, e - 126, 0).astype(x.dtype)
 
 
 def _match_emission(ml, dist):
@@ -221,7 +225,7 @@ def _deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     total_bits = HDR_BITS + csum[:, -1] + EOB_BITS
 
     out = _group_pack_assemble(bits, nbits, off, b, n, max_words,
-                               pallas=pallas)
+                               group_w=GROUP_W, pallas=pallas)
     # block header bits [0,3): BFINAL=0, BTYPE=01 -> LSB-first 0b010;
     # emissions start at bit 3, so the add is an or
     out = out.at[:, 0].add(jnp.uint32(0b010))
