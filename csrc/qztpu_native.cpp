@@ -1690,6 +1690,106 @@ uint32_t qz_crc32(const uint8_t* p, int64_t n, uint32_t crc) {
 }
 
 // ---------------------------------------------------------------------------
+// crc32_combine — GF(2) matrix form of "append len2 zero bytes" (the
+// member-stitch crc fold, reference src/qatzip.c:1849 usage). The Python
+// GF(2) loop cost ~13 ms per 768-member request; here the shift operator
+// is built once per distinct member length and reused, so a whole batch
+// folds in microseconds.
+// ---------------------------------------------------------------------------
+static uint32_t gf2_times(const uint32_t* mat, uint32_t vec) {
+  uint32_t s = 0;
+  for (int i = 0; vec; ++i, vec >>= 1)
+    if (vec & 1) s ^= mat[i];
+  return s;
+}
+
+static void gf2_square(uint32_t* dst, const uint32_t* src) {
+  for (int i = 0; i < 32; ++i) dst[i] = gf2_times(src, src[i]);
+}
+
+// M <- operator for "multiply by x^(8*len)" (append len zero bytes)
+static void crc32_shift_matrix(uint32_t* M, uint64_t len) {
+  uint32_t pw[2][32];       // ping-pong powers: x^(2^k) bit shifts
+  uint32_t acc[32], tmp[32];
+  for (int i = 0; i < 32; ++i) acc[i] = 1u << i;   // identity
+  pw[0][0] = 0xEDB88320u;                          // 1-bit shift (reflected)
+  for (int i = 1; i < 32; ++i) pw[0][i] = 1u << (i - 1);
+  int cur = 0;
+  uint64_t nbits = len << 3;
+  while (nbits) {
+    if (nbits & 1) {
+      for (int i = 0; i < 32; ++i) tmp[i] = gf2_times(pw[cur], acc[i]);
+      std::memcpy(acc, tmp, sizeof(acc));
+    }
+    gf2_square(pw[cur ^ 1], pw[cur]);
+    cur ^= 1;
+    nbits >>= 1;
+  }
+  std::memcpy(M, acc, sizeof(acc));
+}
+
+// ---------------------------------------------------------------------------
+// QZ-ext gzip member scan — the checkHeader walk (reference
+// src/qatzip.c:2273-2369) specialized to the fixed 24-byte QZ-ext layout
+// (qzGzipHeaderGen, src/qatzip_gzip.c:88): sizes ride the extra field, so
+// the walk is pure pointer arithmetic. Returns the member count (filling
+// the arrays up to ``cap``), or -1 if any header is not strict QZ-ext /
+// truncated — the caller falls back to the general Python walk.
+// *consumed = bytes covered by the parsed members.
+// ---------------------------------------------------------------------------
+static inline uint32_t rd_u32le(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;   // little-endian hosts only (x86/arm64 — build targets)
+}
+
+int64_t qz_scan_gzipext(const uint8_t* p, int64_t n, int64_t* pay_off,
+                        int64_t* pay_len, int64_t* src_sz, uint32_t* crcs,
+                        int64_t cap, int64_t* consumed) {
+  int64_t off = 0, cnt = 0;
+  while (off < n && cnt < cap) {
+    if (n - off < 24 + 8) return -1;
+    const uint8_t* h = p + off;
+    if (h[0] != 0x1F || h[1] != 0x8B || h[2] != 8 || h[3] != 0x04)
+      return -1;
+    if ((h[8] != 0 && h[8] != 2 && h[8] != 4) || h[9] != 255) return -1;
+    if (h[10] != 12 || h[11] != 0 || h[12] != 'Q' || h[13] != 'Z' ||
+        h[14] != 8 || h[15] != 0)
+      return -1;
+    uint32_t ssz = rd_u32le(h + 16);
+    uint32_t dsz = rd_u32le(h + 20);
+    if (off + 24 + (int64_t)dsz + 8 > n) return -1;
+    uint32_t fcrc = rd_u32le(h + 24 + dsz);
+    uint32_t isize = rd_u32le(h + 24 + dsz + 4);
+    if (isize != ssz) return -1;
+    pay_off[cnt] = off + 24;
+    pay_len[cnt] = dsz;
+    src_sz[cnt] = ssz;
+    crcs[cnt] = fcrc;
+    ++cnt;
+    off += 24 + dsz + 8;
+  }
+  *consumed = off;
+  return cnt;
+}
+
+uint32_t qz_crc32_combine_many(const uint32_t* crcs, const int64_t* lens,
+                               int32_t n, uint32_t init) {
+  uint32_t acc = init;
+  uint32_t M[32];
+  int64_t cached = -1;
+  for (int32_t i = 0; i < n; ++i) {
+    if (lens[i] <= 0) continue;          // empty member: crc unchanged ^ 0
+    if (lens[i] != cached) {
+      crc32_shift_matrix(M, (uint64_t)lens[i]);
+      cached = lens[i];
+    }
+    acc = gf2_times(M, acc) ^ crcs[i];
+  }
+  return acc;
+}
+
+// ---------------------------------------------------------------------------
 // Batched member decode — the whole decompress hot loop in one GIL-free
 // call: a member batch is decoded straight into a contiguous output by a
 // native thread pool, with per-member crc32 for footer verification.

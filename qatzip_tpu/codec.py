@@ -26,7 +26,8 @@ from .formats import (
     lz4_frame_header, lz4_frame_footer, parse_lz4_frame_header,
     walk_lz4_blocks, lz4s_block_header,
 )
-from .ops import crc32, crc32_combine, adler32, adler32_combine, xxh32
+from .ops import (crc32, crc32_combine_many, adler32, adler32_combine,
+                  xxh32)
 from .sw import codec as swc
 from .engines import host_engine
 from .utils.debug import get_counters
@@ -105,9 +106,8 @@ def _frame_results(data: bytes, chunks: List[bytes], results,
     if algorithm == "deflate" and data_fmt in (DataFormat.DEFLATE_RAW,
                                                DataFormat.ZLIB):
         body = b"".join(p for p, _ in results)
-        total_crc = 0
-        for (p, c), ch in zip(results, chunks):
-            total_crc = crc32_combine(total_crc, c, len(ch))
+        total_crc = crc32_combine_many([c for _, c in results],
+                                       [len(ch) for ch in chunks])
         if data_fmt == DataFormat.ZLIB:
             ad = 1
             for ch in chunks:
@@ -117,17 +117,16 @@ def _frame_results(data: bytes, chunks: List[bytes], results,
 
     if algorithm == "deflate":
         parts: List[bytes] = []
-        total_crc = 0
         for (payload, ccrc), chunk in zip(results, chunks):
             parts.append(output_header_gen(data_fmt, len(chunk), len(payload)))
             parts.append(payload)
             parts.append(output_footer_gen(data_fmt, ccrc, len(chunk)))
-            total_crc = crc32_combine(total_crc, ccrc, len(chunk))
+        total_crc = crc32_combine_many([c for _, c in results],
+                                       [len(ch) for ch in chunks])
         return b"".join(parts), total_crc
 
     if algorithm == "lz4":
         parts = [lz4_frame_header(len(data))]
-        total_crc = 0
         for (payload, ccrc), chunk in zip(results, chunks):
             if len(payload) >= len(chunk) and chunk:
                 parts.append(struct.pack("<I", len(chunk) | 0x80000000))
@@ -135,17 +134,18 @@ def _frame_results(data: bytes, chunks: List[bytes], results,
             else:
                 parts.append(struct.pack("<I", len(payload)))
                 parts.append(payload)
-            total_crc = crc32_combine(total_crc, ccrc, len(chunk))
+        total_crc = crc32_combine_many([c for _, c in results],
+                                       [len(ch) for ch in chunks])
         parts.append(lz4_frame_footer(xxh32(data)))
         return b"".join(parts), total_crc
 
     if algorithm == "lz4s":
         parts = []
-        total_crc = 0
         for (payload, ccrc), chunk in zip(results, chunks):
             parts.append(lz4s_block_header(len(payload)))
             parts.append(payload)
-            total_crc = crc32_combine(total_crc, ccrc, len(chunk))
+        total_crc = crc32_combine_many([c for _, c in results],
+                                       [len(ch) for ch in chunks])
         return b"".join(parts), total_crc
 
     raise QzError(QZ_DATA_ERROR, f"unknown algorithm {algorithm}")
@@ -222,6 +222,28 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
         counters.bump("sw_decompress", 1, len(data))
         return swc.sw_decompress_multi(data, data_fmt, max_out)
 
+    from . import native as _native
+    native_ok = (_native.lib is not None
+                 and os.environ.get("QZTPU_DEVICE_DECODE", "0") != "1")
+
+    # Fastest path: strict QZ-ext buffers walk natively (pure pointer
+    # arithmetic over the fixed 24-byte headers) and decode in one
+    # GIL-free batched call — no per-member Python objects at all.
+    if native_ok and data_fmt == DataFormat.DEFLATE_GZIP_EXT:
+        scanned = _native.lib.scan_gzipext(data)
+        if scanned is not None and scanned[4] == len(data) and len(scanned[0]):
+            in_offs, in_lens, sizes_a, want_crcs, consumed = scanned
+            out_bytes, crcs, out_lens = _native.lib.inflate_batch_bytes(
+                data, in_offs, in_lens, sizes_a)
+            if (out_lens == sizes_a).all():
+                if verify and not (crcs == want_crcs).all():
+                    raise QzError(QZ_DATA_ERROR, "member crc32 mismatch")
+                total_crc = crc32_combine_many([int(c) for c in crcs],
+                                               sizes_a.tolist())
+                return out_bytes, consumed, total_crc
+            counters.bump("sw_decompress_fallback", 1, len(data))
+            return swc.sw_decompress_multi(data, data_fmt, max_out)
+
     members = scan_members(data, data_fmt)
     if not members:
         counters.bump("sw_decompress", 1, len(data))
@@ -233,9 +255,7 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
     # Fast path: one GIL-free native call decodes ALL members straight
     # into a contiguous buffer with its own thread pool + per-member
     # crc32 (the doDecompressIn/Out submit-poll pair as N workers).
-    from . import native as _native
-    if (_native.lib is not None and all(s >= 0 for s in sizes)
-            and os.environ.get("QZTPU_DEVICE_DECODE", "0") != "1"):
+    if native_ok and all(s >= 0 for s in sizes):
         in_offs = [m.payload_off for m in members]
         in_lens = [m.payload_sz for m in members]
         out_bytes, crcs, out_lens = _native.lib.inflate_batch_bytes(
@@ -245,9 +265,7 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
                 for m, c in zip(members, crcs):
                     if m.crc32 is not None and int(c) != m.crc32:
                         raise QzError(QZ_DATA_ERROR, "member crc32 mismatch")
-            total_crc = 0
-            for c, s in zip(crcs, sizes):
-                total_crc = crc32_combine(total_crc, int(c), s)
+            total_crc = crc32_combine_many([int(c) for c in crcs], sizes)
             return out_bytes, consumed, total_crc
         counters.bump("sw_decompress_fallback", 1, len(data))
         return swc.sw_decompress_multi(data, data_fmt, max_out)

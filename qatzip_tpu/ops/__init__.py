@@ -7,4 +7,5 @@ to stay JAX-free.
 """
 
 from .xxhash import xxh32  # noqa: F401
-from .checksum import crc32, crc32_combine, adler32, adler32_combine  # noqa: F401
+from .checksum import (crc32, crc32_combine, crc32_combine_many,  # noqa: F401
+                       adler32, adler32_combine)

@@ -84,7 +84,13 @@ def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
 
 
 def crc32_combine_many(crcs: Sequence[int], lens: Sequence[int]) -> int:
-    """Fold per-chunk CRCs (in order) into the whole-buffer CRC."""
+    """Fold per-chunk CRCs (in order) into the whole-buffer CRC.
+
+    Routed to the native GF(2) fold when available (the Python matrix
+    loop costs ~13 ms per 768-member request; native is microseconds)."""
+    from .. import native
+    if native.lib is not None and len(crcs) > 4:
+        return native.lib.crc32_combine_many(list(crcs), list(lens))
     acc = 0
     for c, l in zip(crcs, lens):
         acc = crc32_combine(acc, c, l)
