@@ -152,6 +152,185 @@ def delta_filter(data: bytes, dist: int, encode: bool) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# BCJ2 (codec 0x0303011B): 4-stream x86 branch converter.
+#
+# Stock 7-Zip splits x86 code into main bytes + big-endian absolute CALL
+# targets + JUMP targets + a range-coded control stream that marks which
+# E8/E9/0F8x opcodes were converted. The range coder is the standard
+# LZMA binary model (11-bit probabilities, 5 move bits, 2^24 top value)
+# with 256 adaptive contexts for E8 (indexed by the previous byte) plus
+# one each for E9 and Jcc. Implemented from the public format; the
+# reference's 7z reader handles only its own deflate folders
+# (utils/qzip_7z.c:44), so this exceeds parity.
+# ---------------------------------------------------------------------------
+
+_RC_TOP = 1 << 24
+_RC_MODEL_TOTAL_BITS = 11
+_RC_MOVE_BITS = 5
+
+
+class _RangeDecoder:
+    """LZMA-style binary range decoder over one control stream."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 1                       # first byte is a mandatory 0
+        if data[:1] not in (b"", b"\x00"):
+            raise QzError(QZ_DATA_ERROR, "7z: bad BCJ2 rc stream prefix")
+        self.range = 0xFFFFFFFF
+        self.code = 0
+        for _ in range(4):
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFF
+
+    def _byte(self) -> int:
+        b = self.data[self.pos] if self.pos < len(self.data) else 0
+        self.pos += 1
+        return b
+
+    def decode_bit(self, probs: list, i: int) -> int:
+        ttt = probs[i]
+        bound = (self.range >> _RC_MODEL_TOTAL_BITS) * ttt
+        if self.code < bound:
+            self.range = bound
+            probs[i] = ttt + (((1 << _RC_MODEL_TOTAL_BITS) - ttt)
+                              >> _RC_MOVE_BITS)
+            bit = 0
+        else:
+            self.range -= bound
+            self.code -= bound
+            probs[i] = ttt - (ttt >> _RC_MOVE_BITS)
+            bit = 1
+        if self.range < _RC_TOP:
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFF
+        return bit
+
+
+class _RangeEncoder:
+    """LZMA-style binary range encoder (fixture/writer side of BCJ2)."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1
+        self.out = bytearray()
+
+    def encode_bit(self, probs: list, i: int, bit: int):
+        ttt = probs[i]
+        bound = (self.range >> _RC_MODEL_TOTAL_BITS) * ttt
+        if bit == 0:
+            self.range = bound
+            probs[i] = ttt + (((1 << _RC_MODEL_TOTAL_BITS) - ttt)
+                              >> _RC_MOVE_BITS)
+        else:
+            self.low += bound
+            self.range -= bound
+            probs[i] = ttt - (ttt >> _RC_MOVE_BITS)
+        while self.range < _RC_TOP:
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            self._shift_low()
+
+    def _shift_low(self):
+        if self.low < 0xFF000000 or self.low > 0xFFFFFFFF:
+            carry = self.low >> 32
+            temp = self.cache
+            while True:
+                self.out.append((temp + carry) & 0xFF)
+                temp = 0xFF
+                self.cache_size -= 1
+                if self.cache_size == 0:
+                    break
+            self.cache = (self.low >> 24) & 0xFF
+        self.cache_size += 1
+        self.low = (self.low & 0x00FFFFFF) << 8
+
+    def flush(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+def _bcj2_is_marker(prev: int, b: int) -> bool:
+    return b == 0xE8 or b == 0xE9 or (prev == 0x0F and (b & 0xF0) == 0x80)
+
+
+def _bcj2_prob_index(prev: int, b: int) -> int:
+    # E8 adapts per previous byte; E9 and Jcc each get one context
+    return prev if b == 0xE8 else (256 if b == 0xE9 else 257)
+
+
+def bcj2_decode(main: bytes, call: bytes, jump: bytes, rc: bytes,
+                out_size: int) -> bytes:
+    """Decode BCJ2's four streams back into the original byte stream."""
+    probs = [1 << (_RC_MODEL_TOTAL_BITS - 1)] * 258
+    rd = _RangeDecoder(rc)
+    out = bytearray()
+    mi = ci = ji = 0
+    prev = 0
+    while len(out) < out_size:
+        if mi >= len(main):
+            raise QzError(QZ_DATA_ERROR, "7z: BCJ2 main stream truncated")
+        b = main[mi]
+        mi += 1
+        out.append(b)
+        if _bcj2_is_marker(prev, b):
+            if rd.decode_bit(probs, _bcj2_prob_index(prev, b)):
+                src = call if b == 0xE8 else jump
+                si = ci if b == 0xE8 else ji
+                if si + 4 > len(src):
+                    raise QzError(QZ_DATA_ERROR,
+                                  "7z: BCJ2 address stream truncated")
+                if b == 0xE8:
+                    ci += 4
+                else:
+                    ji += 4
+                absolute = int.from_bytes(src[si:si + 4], "big")
+                rel = (absolute - (len(out) + 4)) & 0xFFFFFFFF
+                out += rel.to_bytes(4, "little")
+                prev = (rel >> 24) & 0xFF
+                continue
+        prev = b
+    if len(out) != out_size:
+        raise QzError(QZ_DATA_ERROR, "7z: BCJ2 output overrun")
+    return bytes(out)
+
+
+def bcj2_encode(data: bytes) -> Tuple[bytes, bytes, bytes, bytes]:
+    """Split ``data`` into BCJ2's (main, call, jump, rc) streams.
+
+    Converts every E8/E9/Jcc site with 4 following bytes (the simple
+    always-convert policy — the adaptive contexts make unconvertible
+    sites cheap, and any policy decodes identically)."""
+    probs = [1 << (_RC_MODEL_TOTAL_BITS - 1)] * 258
+    re_ = _RangeEncoder()
+    main = bytearray()
+    call = bytearray()
+    jump = bytearray()
+    i = 0
+    prev = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        main.append(b)
+        i += 1
+        if _bcj2_is_marker(prev, b):
+            idx = _bcj2_prob_index(prev, b)
+            if i + 4 <= n:
+                re_.encode_bit(probs, idx, 1)
+                rel = int.from_bytes(data[i:i + 4], "little")
+                absolute = (rel + i + 4) & 0xFFFFFFFF
+                (call if b == 0xE8 else jump).extend(
+                    absolute.to_bytes(4, "big"))
+                prev = data[i + 3]
+                i += 4
+                continue
+            re_.encode_bit(probs, idx, 0)
+        prev = b
+    return bytes(main), bytes(call), bytes(jump), re_.flush()
+
+
+# ---------------------------------------------------------------------------
 # 7z number codec (utils/qzip_7z.c:182-246 analog)
 # ---------------------------------------------------------------------------
 
@@ -867,15 +1046,26 @@ def _decode_folder(fh, folder: _Folder, pack_offsets: List[int],
         if oi not in out_owner:
             raise QzError(QZ_DATA_ERROR, "7z: bad bind-pair out index")
         coder, ib = out_owner[oi]
-        if coder.nin != 1 or coder.nout != 1:
-            raise QzError(QZ_DATA_ERROR,
-                          "7z: multi-stream coder (BCJ2?) unsupported")
-        src = in_src.get(ib)
-        if src is None:
-            raise QzError(QZ_DATA_ERROR, "7z: unbound coder input")
-        data = (packs[src[1]] if src[0] == "pack"
-                else decode_out(src[1], depth + 1))
-        out = _decode_coder(coder, data, folder.unpack_sizes[oi])
+        if coder.nout != 1:
+            raise QzError(QZ_DATA_ERROR, "7z: multi-output coder unsupported")
+
+        def resolve_in(k: int) -> bytes:
+            src = in_src.get(ib + k)
+            if src is None:
+                raise QzError(QZ_DATA_ERROR, "7z: unbound coder input")
+            return (packs[src[1]] if src[0] == "pack"
+                    else decode_out(src[1], depth + 1))
+
+        if coder.codec == CODEC_BCJ2:
+            if coder.nin != 4:
+                raise QzError(QZ_DATA_ERROR, "7z: BCJ2 needs 4 in-streams")
+            out = bcj2_decode(resolve_in(0), resolve_in(1), resolve_in(2),
+                              resolve_in(3), folder.unpack_sizes[oi])
+        elif coder.nin != 1:
+            raise QzError(QZ_DATA_ERROR, "7z: multi-stream coder unsupported")
+        else:
+            out = _decode_coder(coder, resolve_in(0),
+                                folder.unpack_sizes[oi])
         memo[oi] = out
         return out
 

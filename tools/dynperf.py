@@ -21,7 +21,8 @@ for b in (128, 256):
         hbits = np.zeros(b, np.int32)
         for i in range(b):
             lf = hist_np[i, :286].astype(np.uint32); lf[256] += 1
-            packs[i], dpacks[i], _h, hbits[i] = native.lib.dyn_plan(lf, hist_np[i, 286:].astype(np.uint32))
+            packs[i], dpacks[i], _h, hbits[i] = native.lib.dyn_plan(
+                lf, hist_np[i, 286:].astype(np.uint32))
         words, nbits = deflate_pack_dynamic(dd, ml, dist, taken, lit,
             jnp.asarray(packs.astype(np.uint32)), jnp.asarray(dpacks.astype(np.uint32)),
             jnp.asarray(hbits), n=n)
