@@ -56,7 +56,12 @@ HASH_MUL = np.uint32(2654435761)
 TOK_MATCH_BIT = np.uint32(0x80000000)
 TOK_LITRUN_BIT = np.uint32(0x40000000)
 LITRUN_MAX = 16383
-RUN_SPLIT = 8192   # absolute run-token split boundary (power of two)
+# Absolute run-token split boundary (power of two). Splitting runs does
+# NOT change the emitted bitstream (packers walk positions; k run tokens
+# emit the same literal codes as one) — it only bounds the doubling-round
+# count of the run-length plane, so smaller is faster until the extra
+# token d2h shows up (2048 measured best, devserver probe 80).
+RUN_SPLIT = 2048
 
 
 def _word4(data_pad: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -81,7 +86,12 @@ def _shl(x: jnp.ndarray, k: int, fill):
         [x[:, k:], jnp.full((b, k), fill, x.dtype)], axis=1)
 
 
-PARSE_UNROLL = 32
+# All lax.sort calls below pass is_stable=False: every sort key carries
+# the element's position in its low bits, so keys are UNIQUE per row and
+# an unstable sort is deterministic — XLA's stable sort costs a measured
+# ~25% of tokenizer compute on v5e (devserver probe 82: 65.0 -> 50.7 ms
+# per 16 MB batch together with PARSE_UNROLL=128 / RUN_SPLIT=2048).
+PARSE_UNROLL = 128
 
 
 def _parse_scan(is_match, ml, seg: int, nseg: int, b: int):
@@ -102,7 +112,8 @@ def _parse_scan(is_match, ml, seg: int, nseg: int, b: int):
     im = is_match.reshape(rows, seg)
     mls = ml.reshape(rows, seg)
     U = PARSE_UNROLL
-    assert seg % U == 0
+    while seg % U:           # small parse segments: drop to a divisor
+        U //= 2
 
     def body(i, state):
         reach, taken, lit = state
@@ -243,7 +254,8 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
         return _analyze_tail(data, lengths, iota, ml, dist, b, n,
                              min_match, max_match, ctx_bytes, parse_seg,
                              lz4_rules)
-    sorted_ops = jax.lax.sort((key, *ctx_in), dimension=1, num_keys=1)
+    sorted_ops = jax.lax.sort((key, *ctx_in), dimension=1, num_keys=1,
+                              is_stable=False)   # keys unique (relpos)
     key_s, ctx_s = sorted_ops[0], sorted_ops[1:]
     pos_s = (key_s & ((1 << pbits) - 1)).astype(jnp.int32)
     h_s = key_s >> pbits
@@ -295,7 +307,8 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
         packed_p = jax.lax.sort(
             (pos_s.astype(jnp.uint32) << (pbits + 5))
             | (ml_s.astype(jnp.uint32) << pbits)
-            | (dist_s - 1).astype(jnp.uint32))
+            | (dist_s - 1).astype(jnp.uint32),
+            is_stable=False)                      # pos in top bits: unique
         # each window owns relpos in [ov, W); windows at stride own tile
         # the row (the last window may own a partial tail — trim to n)
         packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
@@ -309,7 +322,8 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     # <=15 bits even for LZ4's cap, dist-1 <=15 bits for the 32K window)
     packed = (ml_s.astype(jnp.uint32) << 15) | (dist_s - 1).astype(jnp.uint32)
     _, packed_p = jax.lax.sort(
-        (pos_s.astype(jnp.uint32), packed), dimension=1, num_keys=1)
+        (pos_s.astype(jnp.uint32), packed), dimension=1, num_keys=1,
+        is_stable=False)                          # positions unique
     if segmented:
         packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
         packed_p = packed_p.reshape(b, nwin * own)[:, :n]
@@ -501,12 +515,13 @@ def _lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
         key = ki | ((~emit).astype(jnp.uint32) << 17)
         _, tokens = jax.lax.sort(
             (key.reshape(b * ncs, cs), tok.reshape(b * ncs, cs)),
-            dimension=1, num_keys=1)
+            dimension=1, num_keys=1, is_stable=False)  # ki unique/segment
         tokens = tokens.reshape(b, n)
         ntok = jnp.sum(emit.reshape(b, ncs, cs), axis=2).astype(jnp.int32)
     else:
         key = iota.astype(jnp.uint32) | ((~emit).astype(jnp.uint32) << 17)
-        _, tokens = jax.lax.sort((key, tok), dimension=1, num_keys=1)
+        _, tokens = jax.lax.sort((key, tok), dimension=1, num_keys=1,
+                                 is_stable=False)  # iota unique per row
         ntok = jnp.sum(emit, axis=1).astype(jnp.int32)
     return tokens, ntok
 
