@@ -103,11 +103,12 @@ def _frame_results(data: bytes, chunks: List[bytes], results,
                    algorithm: str, data_fmt: DataFormat) -> Tuple[bytes, int]:
     """Stitch one request's ordered chunk results into framed output
     (the doCompressOut header/payload/footer + crc32_combine walk)."""
+    # the whole-request crc fold is format-independent
+    total_crc = crc32_combine_many([c for _, c in results],
+                                   [len(ch) for ch in chunks])
     if algorithm == "deflate" and data_fmt in (DataFormat.DEFLATE_RAW,
                                                DataFormat.ZLIB):
         body = b"".join(p for p, _ in results)
-        total_crc = crc32_combine_many([c for _, c in results],
-                                       [len(ch) for ch in chunks])
         if data_fmt == DataFormat.ZLIB:
             ad = 1
             for ch in chunks:
@@ -121,8 +122,6 @@ def _frame_results(data: bytes, chunks: List[bytes], results,
             parts.append(output_header_gen(data_fmt, len(chunk), len(payload)))
             parts.append(payload)
             parts.append(output_footer_gen(data_fmt, ccrc, len(chunk)))
-        total_crc = crc32_combine_many([c for _, c in results],
-                                       [len(ch) for ch in chunks])
         return b"".join(parts), total_crc
 
     if algorithm == "lz4":
@@ -134,8 +133,6 @@ def _frame_results(data: bytes, chunks: List[bytes], results,
             else:
                 parts.append(struct.pack("<I", len(payload)))
                 parts.append(payload)
-        total_crc = crc32_combine_many([c for _, c in results],
-                                       [len(ch) for ch in chunks])
         parts.append(lz4_frame_footer(xxh32(data)))
         return b"".join(parts), total_crc
 
@@ -144,8 +141,6 @@ def _frame_results(data: bytes, chunks: List[bytes], results,
         for (payload, ccrc), chunk in zip(results, chunks):
             parts.append(lz4s_block_header(len(payload)))
             parts.append(payload)
-        total_crc = crc32_combine_many([c for _, c in results],
-                                       [len(ch) for ch in chunks])
         return b"".join(parts), total_crc
 
     raise QzError(QZ_DATA_ERROR, f"unknown algorithm {algorithm}")

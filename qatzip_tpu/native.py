@@ -62,8 +62,12 @@ def _build_pyext() -> bool:
     if not inc or not os.path.exists(os.path.join(inc, "Python.h")):
         return False
     try:
+        # link by soname (-l:) not absolute path: an absolute path lands
+        # verbatim in DT_NEEDED and breaks when the repo moves; with a
+        # bare name the $ORIGIN rpath resolves it next to this .so
         cmd = ["g++", "-O2", "-fPIC", "-shared", "-I", inc,
-               "-o", _PYEXT_SO, _PYEXT_SRC, _SO,
+               "-o", _PYEXT_SO, _PYEXT_SRC,
+               "-L", os.path.dirname(_SO), "-l:" + os.path.basename(_SO),
                "-Wl,-rpath,$ORIGIN"]
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=60)
         if res.returncode != 0:
@@ -85,15 +89,25 @@ def _load_pyext():
         stale = True
     if stale and not _build_pyext():
         return
-    try:
+
+    def _try_load():
         import importlib.util
         spec = importlib.util.spec_from_file_location(
             "qatzip_tpu._qztpu_pyext", _PYEXT_SO)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        pyext = mod
-    except Exception as e:  # noqa: BLE001
-        sys.stderr.write(f"qztpu_pyext load failed: {e}\n")
+        return mod
+
+    try:
+        pyext = _try_load()
+    except Exception:  # noqa: BLE001
+        # a prebuilt .so from another checkout path may not resolve its
+        # DT_NEEDED — rebuild in place once and retry before giving up
+        try:
+            if _build_pyext():
+                pyext = _try_load()
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"qztpu_pyext load failed: {e}\n")
 
 
 class _NativeLib:

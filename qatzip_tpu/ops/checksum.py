@@ -79,7 +79,13 @@ def crc32_shift(crc: int, nbytes: int) -> int:
 
 
 def crc32_combine(crc1: int, crc2: int, len2: int) -> int:
-    """zlib-compatible crc32_combine (reference src/qatzip.c:1849 usage)."""
+    """zlib-compatible crc32_combine (reference src/qatzip.c:1849 usage).
+
+    zlib's degenerate case: len2 <= 0 returns crc1 unchanged (crc2 is
+    ignored) — the native crc32_combine_many fold matches this, so the
+    two routes stay member-count-independent."""
+    if len2 <= 0:
+        return crc1 & 0xFFFFFFFF
     return (crc32_shift(crc1, len2) ^ crc2) & 0xFFFFFFFF
 
 

@@ -64,7 +64,8 @@ def _pallas_mode(platform: str = None) -> str:
     segmented lax.sort stack / strip reduce (devserver probe 64:
     tok 144 vs 175 MB/s, hist 134 vs 174 MB/s) — and scatter on CPU.
     =1 forces all kernels (interpreted on CPU); =0 forces scatter; an
-    explicit list ("k1,k2,k3,k4") forces that compiled subset.
+    explicit list ("k1,k2,k3,k4") forces that subset (compiled on TPU,
+    interpreter-run on CPU so single-kernel debugging works anywhere).
     ``platform`` pins the decision to the platform the computation
     actually runs on (a CPU mesh under an axon/TPU default backend —
     the driver's virtual multi-chip dryrun — must not pick Mosaic)."""
@@ -74,7 +75,11 @@ def _pallas_mode(platform: str = None) -> str:
     if platform is None:
         platform = jax.default_backend()
     if platform == "cpu":
-        return "interpret" if v == "1" else "scatter"
+        if v == "1":
+            return "interpret"
+        if v == "auto":
+            return "scatter"
+        return "interpret:" + v   # explicit subset, interpreter-run
     if v == "auto":
         return "kernel:k1,k3"
     if v == "1":
@@ -88,7 +93,10 @@ def _pk(pallas: str, k: str) -> bool:
     k3 = dynamic code lookup, k4 = symbol histogram."""
     if pallas in ("kernel", "interpret"):
         return True
-    return pallas.startswith("kernel:") and k in pallas[7:].split(",")
+    for pfx in ("kernel:", "interpret:"):
+        if pallas.startswith(pfx):
+            return k in pallas[len(pfx):].split(",")
+    return False
 
 GROUP = 256          # positions per pack group
 # worst case bits per group: 256 literals x 9 bits = 2304, plus a 31-bit
@@ -285,7 +293,7 @@ def _group_pack_assemble(bits, nbits, off, b: int, n: int, max_words: int,
     if _pk(pallas, "k1"):
         from .pallas_pack import assemble_windows
         return assemble_windows(grp, wo, max_words=max_words,
-                                interpret=(pallas == "interpret"))
+                                interpret=pallas.startswith("interpret"))
     out = jnp.zeros((b, max_words), jnp.uint32)
     widx_full = wo[:, :, None] + jnp.arange(group_w, dtype=jnp.int32)[None,
                                                                       None, :]
@@ -370,10 +378,13 @@ def _deflate_analyze_hist(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     sym = jnp.where(taken, lsym,
                     jnp.where(lit, data.astype(jnp.int32), 320))
     dsym_m = jnp.where(taken, 286 + dsym, 320)
-    if _pk(pallas, "k4") and n % 128 == 0:
+    # the kernel consumes (rpb, 128) blocks in 8-row steps: rpb = n/128
+    # must be a positive multiple of 8, i.e. n % 1024 == 0 (n=512 fails
+    # at trace; rpb % 8 != 0 would silently drop tail rows)
+    if _pk(pallas, "k4") and n % 1024 == 0:
         from .pallas_pack import symbol_histogram
         hist = symbol_histogram(sym, dsym_m, n=n,
-                                interpret=(pallas == "interpret"))
+                                interpret=pallas.startswith("interpret"))
     else:
         hist_parts = []
         for s0 in range(0, 320, 32):   # fused compare-reduce strips
@@ -429,7 +440,7 @@ def _deflate_pack_dynamic(data: jnp.ndarray, ml, dist, taken, lit,
         from .pallas_pack import huffman_lookup
         pack_by_pos, dpack = huffman_lookup(
             lit_pack, dist_pack, sym, dsym, n=n,
-            interpret=(pallas == "interpret"))
+            interpret=pallas.startswith("interpret"))
     else:
         # --- sort-merge lit/len table lookup ------------------------------
         # entries: key = sym*2, value = table pack; queries: key =

@@ -237,6 +237,7 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     # (pos 13 + ml 5 + dist 13 bits); lax.sort otherwise
     from .deflate_pack import _pk
     use_kernel = (_pk(pallas, "k2") and segmented and W <= 8192
+                  and (W & (W - 1)) == 0   # bitonic network needs pow2
                   and ctx_words <= 4 and probes < 64 and min_match <= 16
                   and window >= W)
     if use_kernel:
@@ -244,7 +245,7 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
         kv = candidate_search(key, ctx_in, w=W, probes=probes,
                               ctx_words=ctx_words, min_match=min_match,
                               pbits=pbits,
-                              interpret=(pallas == "interpret"))
+                              interpret=pallas.startswith("interpret"))
         packed_p = ((((kv >> 13) & jnp.uint32(0x1F)) << 15)
                     | (kv & jnp.uint32(0x1FFF)))
         packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
@@ -314,7 +315,9 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
         packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
         packed_p = packed_p.reshape(b, nwin * own)[:, :n]
         ml = ((packed_p >> pbits) & 0x1F).astype(jnp.int32)
-        dist = (packed_p & (W - 1)).astype(jnp.int32) + 1
+        # mask by pbits, not W-1: dist-1 occupies pbits bits and W may be
+        # any width on this path (only the k2 kernel needs a power of two)
+        dist = (packed_p & ((1 << pbits) - 1)).astype(jnp.int32) + 1
         return _analyze_tail(data, lengths, iota, ml, dist, b, n,
                              min_match, max_match, ctx_bytes, parse_seg,
                              lz4_rules)
@@ -469,10 +472,10 @@ def _lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
     # lr[p] = forward run length starting at p, by saturation doubling
     # (pure rolls). Long runs are split at absolute RUN_SPLIT boundaries
     # (a run token never crosses one), so lr only needs exactness up to
-    # RUN_SPLIT — 13 doubling rounds instead of 17, and no backward-rank
-    # plane at all (costs a handful of extra tokens on multi-KB runs).
-    # int16 planes: lr <= RUN_SPLIT = 8192 fits, and each doubling round
-    # moves half the HBM bytes of the int32 form
+    # RUN_SPLIT — RUN_SPLIT.bit_length() doubling rounds instead of 17,
+    # and no backward-rank plane at all (costs a handful of extra tokens
+    # on multi-KB runs). int16 planes: lr <= 2*RUN_SPLIT stays within
+    # int16, and each doubling round moves half the HBM bytes of int32
     lr = lit.astype(jnp.int16)
 
     def lr_round(k, lr):

@@ -141,3 +141,74 @@ def test_trace_utility_captures_profile(tmp_path):
             total[k] = total.get(k, 0) + v
     assert total.get("stage_unit_compress", 0) >= 1
     assert total.get("stage_unit_compress_us", 0) > 0
+
+
+def test_nonpow2_search_seg_roundtrip():
+    """Round-3 review: the segmented-search unsort masked dist with
+    (W-1), which corrupts distances when search_seg is not a power of
+    two — the mask must be (1 << pbits) - 1."""
+    import jax.numpy as jnp
+    from qatzip_tpu.ops.lz77 import lz77_tokenize, tokens_to_bytes
+
+    rng = np.random.default_rng(0)
+    base = bytes(rng.integers(97, 102, 3000, dtype=np.uint8))
+    data = (base * 8)[:16384]
+    arr = jnp.array(np.frombuffer(data, np.uint8)[None, :].copy())
+    lens = jnp.array([len(data)], jnp.int32)
+    for ss in (6144, 8192):
+        toks, ntok = lz77_tokenize(arr, lens, n=len(data), search_seg=ss)
+        out = tokens_to_bytes(np.asarray(toks[0]), np.asarray(ntok[0]), data)
+        assert out == data, f"search_seg={ss}"
+
+
+def test_crc32_combine_zero_len_zlib_semantics():
+    """Round-3 review: crc32_combine(crc1, crc2, 0) must return crc1
+    (zlib's degenerate case) so the Python fallback and the native
+    crc32_combine_many fold agree regardless of member count."""
+    from qatzip_tpu.ops.checksum import crc32_combine, crc32_combine_many
+
+    assert crc32_combine(0x12345678, 0xDEADBEEF, 0) == 0x12345678
+    crcs = [zlib.crc32(b"abc"), 0xDEADBEEF, zlib.crc32(b"xyz")]
+    lens = [3, 0, 3]
+    # <=4 members: Python fold; >4: native fold — results must agree
+    py = crc32_combine_many(crcs, lens)
+    assert py == zlib.crc32(b"abcxyz")
+    ext_crcs = crcs + [zlib.crc32(b"q")] * 3
+    ext_lens = lens + [1, 1, 1]
+    acc = 0
+    for c, l in zip(ext_crcs, ext_lens):
+        acc = crc32_combine(acc, c, l)
+    assert crc32_combine_many(ext_crcs, ext_lens) == acc
+
+
+def test_k4_histogram_small_n_routes_to_strip(monkeypatch):
+    """Round-3 review: the k4 VMEM histogram kernel needs n % 1024 == 0;
+    n=512 must route to the XLA strip reduce instead of crashing."""
+    import jax.numpy as jnp
+    from qatzip_tpu.ops.deflate_pack import _deflate_analyze_hist
+
+    rng = np.random.default_rng(1)
+    data = jnp.array(rng.integers(65, 70, (2, 512), dtype=np.uint8))
+    lens = jnp.array([512, 300], jnp.int32)
+    hist, ml, dist, taken, lit = _deflate_analyze_hist(
+        data, lens, n=512, parse_seg=512, ctx_words=4, probes=6,
+        search_seg=0, search_overlap=1024, pallas="interpret")
+    assert hist.shape == (2, 316)
+    emitted = np.asarray(taken[0]) | np.asarray(lit[0])
+    assert int(np.asarray(hist)[0, :286].sum()) == int(emitted.sum())
+
+
+def test_pallas_explicit_subset_on_cpu(monkeypatch):
+    """Round-3 review: QZTPU_PALLAS=k1,k3 on the CPU backend must select
+    the interpreted subset (so single-kernel debugging works), not
+    silently fall back to pure-XLA scatter."""
+    from qatzip_tpu.ops.deflate_pack import _pallas_mode, _pk
+
+    monkeypatch.setenv("QZTPU_PALLAS", "k1,k3")
+    mode = _pallas_mode("cpu")
+    assert mode == "interpret:k1,k3"
+    assert _pk(mode, "k1") and _pk(mode, "k3")
+    assert not _pk(mode, "k2") and not _pk(mode, "k4")
+    monkeypatch.setenv("QZTPU_PALLAS", "auto")
+    assert _pallas_mode("cpu") == "scatter"
+    assert _pallas_mode("tpu") == "kernel:k1,k3"
