@@ -224,12 +224,81 @@ def _device_pack_gbps(corpus: bytes, iters: int, b: int = 256) -> float:
     return b * n / best / 1e9
 
 
+def _bring_up_device():
+    """Blocking device bring-up with retries — relay-proof evidence
+    capture (round-3 post-mortem: a silent bring-up failure produced an
+    SW-mode artifact with every device field null). When JAX_PLATFORMS
+    names a device platform, concede only after 3 watchdog-bounded probes
+    over a few minutes, and return the recorded reason."""
+    from qatzip_tpu.runtime import get_runtime
+
+    rt = get_runtime()
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    want_device = bool(platforms) and platforms != "cpu" \
+        and os.environ.get("QZTPU_FORCE_SW") != "1"
+    tries = int(os.environ.get("QZTPU_BENCH_INIT_TRIES", "3"))
+    for attempt in range(tries if want_device else 1):
+        rt.init(1, block_s=180.0)
+        if rt.hw_available:
+            return rt, None
+        sys.stderr.write(
+            f"[bench] device bring-up attempt {attempt + 1}/{tries} "
+            f"failed: {rt.last_error}\n")
+        if attempt + 1 < tries:
+            time.sleep(float(os.environ.get("QZTPU_BENCH_INIT_SLEEP", "45")))
+    if want_device:
+        return rt, rt.last_error or "no devices found"
+    return rt, None
+
+
+def _multicore_sw_gbps(corpus: bytes, iters: int):
+    """Product-path SW compress over the host pool (all cores) — the
+    in-process analog of the reference's N-process × M-thread harness
+    (test/performance_tests/run_perf_test.sh:106-125). Returns
+    (gbps, out_bytes)."""
+    from qatzip_tpu import codec as C
+    from qatzip_tpu.constants import DataFormat
+
+    best = float("inf")
+    out = b""
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out, _crc = C.compress_buffer(
+            corpus, algorithm="deflate",
+            data_fmt=DataFormat.DEFLATE_GZIP_EXT, level=1,
+            hw_buff_sz=64 * 1024, engine=None)
+        best = min(best, time.perf_counter() - t0)
+    return len(corpus) / best / 1e9, out
+
+
+def _lz4_bench(corpus: bytes, iters: int):
+    """LZ4 session e2e (the reference benches every format through the
+    same harness, test/main.c -m 4 -A lz4). Round-trip is verified
+    through our native decoder (this image ships no stock lz4 binary;
+    the native decoder is an independent implementation from the
+    compressor, csrc qz_lz4_decompress_block). Returns (gbps, ratio)."""
+    from qatzip_tpu import QzSession, params as P
+
+    s = QzSession()
+    s.setup_lz4(P.get_defaults("lz4"))
+    s.compress(corpus[: 4 << 20])
+    best = float("inf")
+    out = b""
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = s.compress(corpus)
+        best = min(best, time.perf_counter() - t0)
+    assert s.decompress(out) == corpus
+    return len(corpus) / best / 1e9, len(corpus) / len(out)
+
+
 def main():
     corpus = make_corpus()
     n = len(corpus)
 
     from qatzip_tpu import QzSession, params as P
-    from qatzip_tpu.runtime import get_runtime
+
+    rt_obj, device_error = _bring_up_device()
 
     sess = QzSession()
     sess.setup_deflate(P.get_defaults("deflate"))
@@ -287,7 +356,6 @@ def main():
         z_ratio = slice_mb / len(zout)
     base_gbps = n / zdt
 
-    rt_obj = get_runtime()
     on_device = sess._engine is not None and rt_obj.hw_available
 
     # e2e through the full-device DYNAMIC packer (per-chunk trees built
@@ -327,6 +395,11 @@ def main():
     dev_pack_gbps = (_device_pack_gbps(corpus, max(iters, 3))
                      if on_device else None)
 
+    # product-path SW multicore e2e (host pool, all cores) + LZ4 e2e
+    mc_gbps, mc_out = _multicore_sw_gbps(corpus, max(2, iters - 1))
+    assert sess.decompress(mc_out) == corpus
+    lz4_gbps, lz4_ratio = _lz4_bench(corpus, max(2, iters - 1))
+
     # Headline: on a relay-limited dev tunnel the end-to-end number
     # measures the tunnel, not the engine — report the device pipeline
     # rate (the QAT-engine-Gbps analog) and disclose everything else.
@@ -357,45 +430,80 @@ def main():
         "ratio": round(n / len(out), 4),
         "zlib_l1_ratio": round(z_ratio, 4),
         "ratio_vs_zlib_l1": round((n / len(out)) / z_ratio, 4),
+        "e2e_multicore_gbps": round(mc_gbps, 4),
+        "host_workers": os.cpu_count(),
+        "lz4_compress_gbps": round(lz4_gbps, 4),
+        "lz4_ratio": round(lz4_ratio, 4),
         "input_mb": n >> 20,
         "backend": rt_obj.platform or "sw",
         "engine": "tpu" if sess._engine is not None else "host",
+        "device_error": device_error,
     }
     print(json.dumps(result))
 
 
-def _fallback_sw_bench():
-    """Emergency software-only bench: if the device tunnel fails mid-run,
-    still emit the JSON contract line (the reference's BACKOUT-to-software
-    philosophy applied to the benchmark itself)."""
+def _fallback_sw_bench(reason: str):
+    """Emergency software-only bench: if the device tunnel fails MID-RUN
+    (bring-up failures are handled inside main by _bring_up_device), still
+    emit the full JSON contract line — SAME corpus (48 MB), SAME field
+    set, device fields null, the failure recorded in ``device_error`` so
+    a device-failure rerun stays comparable across rounds."""
     os.environ["QZTPU_FORCE_SW"] = "1"
     from qatzip_tpu.runtime import get_runtime
 
     get_runtime().close()
-    corpus = make_corpus(16)
+    corpus = make_corpus()
     n = len(corpus)
     from qatzip_tpu import QzSession
 
     sess = QzSession()
     sess.setup_deflate()
-    sess.compress(corpus[: 2 << 20])
-    t0 = time.perf_counter()
-    out = sess.compress(corpus)
-    dt = time.perf_counter() - t0
+    sess.compress(corpus[: 8 << 20])
+    iters = int(os.environ.get("QZTPU_BENCH_ITERS", "3"))
+    dt = float("inf")
+    out = b""
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = sess.compress(corpus)
+        dt = min(dt, time.perf_counter() - t0)
     assert sess.decompress(out) == corpus
+    ddt = float("inf")
+    for _ in range(max(2, iters - 1)):
+        t0 = time.perf_counter()
+        sess.decompress(out)
+        ddt = min(ddt, time.perf_counter() - t0)
     t0 = time.perf_counter()
-    zout = zlib.compress(corpus, 1)
-    zdt = time.perf_counter() - t0
+    zout = zlib.compress(corpus[: 16 << 20], 1)
+    zdt = (time.perf_counter() - t0) * (n / (16 << 20))
+    z_ratio = (16 << 20) / len(zout)
+    mc_gbps, mc_out = _multicore_sw_gbps(corpus, max(2, iters - 1))
+    assert sess.decompress(mc_out) == corpus
+    lz4_gbps, lz4_ratio = _lz4_bench(corpus, max(2, iters - 1))
     print(json.dumps({
         "metric": "silesia_gzip_l1_compress_throughput",
         "value": round(n / dt / 1e9, 4),
         "unit": "GB/s",
         "vs_baseline": round(zdt / dt, 3),
+        "e2e_compress_gbps": round(n / dt / 1e9, 4),
+        "e2e_device_pack_gbps": None,
+        "device_pack_ratio": None,
+        "decompress_gbps": round(n / ddt / 1e9, 4),
+        "device_pipeline_gbps": None,
+        "device_pipeline_sync_gbps": None,
+        "device_pack_gbps": None,
+        "d2h_mbps": None,
+        "relay_limited": False,
         "ratio": round(n / len(out), 4),
-        "zlib_l1_ratio": round(n / len(zout), 4),
+        "zlib_l1_ratio": round(z_ratio, 4),
+        "ratio_vs_zlib_l1": round((n / len(out)) / z_ratio, 4),
+        "e2e_multicore_gbps": round(mc_gbps, 4),
+        "host_workers": os.cpu_count(),
+        "lz4_compress_gbps": round(lz4_gbps, 4),
+        "lz4_ratio": round(lz4_ratio, 4),
         "input_mb": n >> 20,
         "backend": "sw_fallback_after_device_error",
         "engine": "host",
+        "device_error": reason,
     }))
 
 
@@ -404,8 +512,8 @@ if __name__ == "__main__":
         from qatzip_tpu.utils.trace import maybe_trace_from_env
         with maybe_trace_from_env():   # QZTPU_TRACE=/dir captures a profile
             main()
-    except Exception:  # noqa: BLE001 — device/tunnel failure
+    except Exception as e:  # noqa: BLE001 — device/tunnel failure
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        _fallback_sw_bench()
+        _fallback_sw_bench(f"{type(e).__name__}: {e}")

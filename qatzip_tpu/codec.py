@@ -58,14 +58,28 @@ def compress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
 
     if not use_engine:
         counters.bump("sw_compress", 1, len(data))
+        if algorithm not in ("deflate", "lz4", "lz4s"):
+            raise QzError(QZ_DATA_ERROR, f"unknown algorithm {algorithm}")
+        # Multi-chunk SW requests fan across the host pool (zlib and the
+        # native coders release the GIL): the SW "instance pool". The
+        # reference's SW path is serial per request, but its performance
+        # model is N processes × M threads over independent hw_buff_sz
+        # members (test/performance_tests/run_perf_test.sh:106-125) — one
+        # process reaching all cores is the same parallelism, per-chunk
+        # payloads and member framing are byte-identical to the serial
+        # path (shared deflate_raw_compress + output_header/footer_gen).
+        if (len(data) > hw_buff_sz
+                and os.environ.get("QZTPU_SW_POOL", "1") != "0"):
+            return _engine_compress(
+                data, algorithm=algorithm, data_fmt=data_fmt, level=level,
+                hw_buff_sz=hw_buff_sz, engine=host_engine,
+                mini_match=mini_match, huffman_static=huffman_static)
         if algorithm == "deflate":
             return swc.sw_compress(data, data_fmt, level, hw_buff_sz)
         if algorithm == "lz4":
             return swc.sw_compress(data, DataFormat.LZ4, level, hw_buff_sz)
-        if algorithm == "lz4s":
-            return swc.sw_compress(data, DataFormat.LZ4S, level, hw_buff_sz,
-                                   mini_match=mini_match)
-        raise QzError(QZ_DATA_ERROR, f"unknown algorithm {algorithm}")
+        return swc.sw_compress(data, DataFormat.LZ4S, level, hw_buff_sz,
+                               mini_match=mini_match)
 
     counters.bump("hw_compress", 1, len(data))
     out, crc = _engine_compress(data, algorithm=algorithm, data_fmt=data_fmt,
@@ -228,6 +242,13 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
         scanned = _native.lib.scan_gzipext(data)
         if scanned is not None and scanned[4] == len(data) and len(scanned[0]):
             in_offs, in_lens, sizes_a, want_crcs, consumed = scanned
+            if max_out is not None and int(sizes_a.sum()) > max_out:
+                # headers DECLARE more output than the caller allows —
+                # don't allocate on a crafted buffer's word; the SW walker
+                # enforces max_out as it decodes (qzDecompressExt's
+                # dest-buffer bound, src/qatzip.c:2909)
+                counters.bump("sw_decompress_fallback", 1, len(data))
+                return swc.sw_decompress_multi(data, data_fmt, max_out)
             out_bytes, crcs, out_lens = _native.lib.inflate_batch_bytes(
                 data, in_offs, in_lens, sizes_a)
             if (out_lens == sizes_a).all():
@@ -250,7 +271,8 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
     # Fast path: one GIL-free native call decodes ALL members straight
     # into a contiguous buffer with its own thread pool + per-member
     # crc32 (the doDecompressIn/Out submit-poll pair as N workers).
-    if native_ok and all(s >= 0 for s in sizes):
+    if (native_ok and all(s >= 0 for s in sizes)
+            and (max_out is None or sum(sizes) <= max_out)):
         in_offs = [m.payload_off for m in members]
         in_lens = [m.payload_sz for m in members]
         out_bytes, crcs, out_lens = _native.lib.inflate_batch_bytes(

@@ -174,9 +174,11 @@ class _RangeDecoder:
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 1                       # first byte is a mandatory 0
-        if data[:1] not in (b"", b"\x00"):
-            raise QzError(QZ_DATA_ERROR, "7z: bad BCJ2 rc stream prefix")
+        # stock Bcj2Dec shifts FIVE bytes into the 32-bit code — the
+        # first byte falls off the top and its value is ignored (encoders
+        # emit 0, but an unusual-yet-decodable archive must not be
+        # rejected), so skip it without validating
+        self.pos = 1
         self.range = 0xFFFFFFFF
         self.code = 0
         for _ in range(4):

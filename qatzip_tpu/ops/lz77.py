@@ -147,7 +147,7 @@ def _parse_scan(is_match, ml, seg: int, nseg: int, b: int):
 def _analyze(data, lengths, *, n, min_match, max_match, window,
              parse_seg, ctx_words, probes, lz4_rules: bool = False,
              search_seg: int = 0, search_overlap: int = 1024,
-             pallas: str = "scatter"):
+             search_stride: int = 1, pallas: str = "scatter"):
     """Match finding + greedy parse — the shared device analysis stages.
 
     Returns dense (B, n) planes: iota, ml, dist, taken (match emitted at
@@ -196,6 +196,13 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     h = ((w4 * HASH_MUL) >> np.uint32(32 - HASH_BITS)).astype(jnp.uint32)
     # unhashable positions go to a private overflow bucket
     h = jnp.where(hashable, h, np.uint32(1 << HASH_BITS))
+
+    if search_stride == 2 and 0 < search_seg < n:
+        return _analyze_stride2(
+            data, lengths, iota, h, ctx, b, n, min_match=min_match,
+            max_match=max_match, window=window, parse_seg=parse_seg,
+            ctx_words=ctx_words, probes=probes, lz4_rules=lz4_rules,
+            search_seg=search_seg, search_overlap=search_overlap)
 
     # --- sort by (hash, pos); context rides along -------------------------
     # search_seg > 0 runs the sort pair over overlapped windows of WIDTH
@@ -336,8 +343,166 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
                          max_match, ctx_bytes, parse_seg, lz4_rules)
 
 
+def _extend_matches(p, *, cap0, max_match, min_match, n, unit: int = 1):
+    """Saturation-doubling match extension over a packed (ml<<16|dist-1)
+    plane — pure shifts. A match saturated at length ``cap`` whose
+    continuation position holds a same-distance match chains to
+    cap + ml[cont]; lengths grow cap0 -> 2*cap0 -> ... -> max_match in
+    log rounds. ``unit`` = bytes per plane element (2 on the stride-2
+    even lattice, where byte offset cap is element shift cap//unit —
+    every cap in the doubling ladder stays a multiple of the unit)."""
+    cap = cap0
+    while cap < max_match and cap < n * unit:
+        np_ = _shl(p, cap // unit, 0)
+        nml = (np_ >> 16).astype(jnp.int32)
+        cont = (((p >> 16) == cap) & (((np_ ^ p) & 0xFFFF) == 0)
+                & (nml >= min_match))
+        ext = jnp.minimum(cap + nml, max_match).astype(jnp.uint32)
+        p = jnp.where(cont, (ext << 16) | (p & 0xFFFF), p)
+        cap *= 2
+    return p
+
+
+def _analyze_stride2(data, lengths, iota, h, ctx, b, n, *, min_match,
+                     max_match, window, parse_seg, ctx_words, probes,
+                     lz4_rules, search_seg, search_overlap):
+    """Half-lattice candidate search: sort EVEN positions only.
+
+    The sort pair is ~60% of tokenizer compute and its cost is the
+    comparison network over the key operand (carried-operand count was
+    measured second-order: ctx 4->2 saved only ~8%), so element count is
+    the lever. Entering only even positions halves every sorted plane
+    while the window's BYTE reach stays (even doubles, at equal sort
+    width) — the round-4 reformulation VERDICT asked for instead of more
+    tuning.
+
+    MEASURED AND REJECTED as the L1 default (round 4): the odd-distance
+    match loss prices at −13.6% ratio on the mixed corpus (ratiocheck:
+    stride-2 W=16K/ov=2K → 0.901× zlib L1 vs 1.043× for the stride-1
+    W=8K default) — losing every odd-distance repeat is fatal on text,
+    and no cheap supplement recovers DISTANT odd matches. Kept (with a
+    round-trip test) as the priced data point the next search-cost idea
+    must beat; the open sort-pair lever is the k2 VMEM kernel with row
+    blocking, not candidate thinning.
+
+    What the half lattice loses and how it's recovered:
+      * matches at odd positions — recovered by derivation: expanding the
+        even plane with repeat(x, 2) gives position 2a+1 the match of 2a
+        minus one leading byte (same distance), which the byte-domain
+        parse treats like any other candidate;
+      * matches whose TRUE start is odd — the next even position inside
+        the match carries the same (distance, suffix) candidate, so only
+        the single leading byte is lost;
+      * matches at ODD distances — invisible (both endpoints can't be
+        even); this is the formulation's real ratio cost, priced with
+        tools/ratiocheck.py.
+
+    Extension runs on the even lattice BEFORE expansion (byte caps are
+    even, so continuation positions stay on the lattice): half the HBM
+    traffic of byte-domain doubling, and derived odd matches inherit
+    fully extended lengths.
+    """
+    ctx_bytes = ctx_words * 4
+    ne = n // 2
+
+    def even(x):
+        # static stride-2 lane slice (NOT an arbitrary gather; lowered as
+        # a regular lane shuffle). Minor dim stays >= 128 — no (., 2)
+        # intermediates, which would tile-pad 64x (CLAUDE.md cost model).
+        return x[:, ::2]
+
+    h_e = even(h)
+    ctx_e = [even(c) for c in ctx]
+
+    W = search_seg // 2                 # window width in even units
+    ov = min(search_overlap // 2, W - 1)
+    own = W - ov
+    nwin = -(-ne // own)
+    pad_r = (nwin - 1) * own + W - ov - ne
+    pbits = max((W - 1).bit_length(), 1)
+    assert 2 * pbits + 5 <= 31, "stride-2 unsort packing needs W <= 16K"
+
+    def seg(x, fill):
+        xp = jnp.concatenate(
+            [jnp.full((b, ov), fill, x.dtype), x,
+             jnp.full((b, pad_r), fill, x.dtype)], axis=1)
+        wins = [xp[:, k * own: k * own + W] for k in range(nwin)]
+        return jnp.stack(wins, axis=1).reshape(b * nwin, W)
+
+    relpos = jax.lax.broadcasted_iota(jnp.uint32, (b * nwin, W), 1)
+    key = (seg(h_e, np.uint32(1 << HASH_BITS)) << pbits) | relpos
+    ctx_in = [seg(c, np.uint32(0)) for c in ctx_e]
+
+    sorted_ops = jax.lax.sort((key, *ctx_in), dimension=1, num_keys=1,
+                              is_stable=False)    # keys unique (relpos)
+    key_s, ctx_s = sorted_ops[0], sorted_ops[1:]
+    pos_s = (key_s & ((1 << pbits) - 1)).astype(jnp.int32)
+    h_s = key_s >> pbits
+    sb, sn = key_s.shape
+
+    def cand_at(delta):
+        zpad = jnp.zeros((sb, delta), jnp.uint32)
+        same = jnp.concatenate(
+            [jnp.zeros((sb, delta), bool),
+             h_s[:, delta:] == h_s[:, :-delta]], axis=1)
+        dist = pos_s - jnp.concatenate(
+            [jnp.zeros((sb, delta), jnp.int32), pos_s[:, :-delta]], axis=1)
+        ml = jnp.zeros((sb, sn), jnp.int32)
+        alive = same
+        for k in range(ctx_words):
+            prev = jnp.concatenate([zpad, ctx_s[k][:, :-delta]], axis=1)
+            x = ctx_s[k] ^ prev
+            full = (x == 0) & alive
+            partial = jnp.where(
+                alive & ~full,
+                ((x & 0xFF) == 0).astype(jnp.int32)
+                + ((x & 0xFFFF) == 0).astype(jnp.int32)
+                + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
+                0)
+            ml = ml + jnp.where(full, 4, partial)
+            alive = full
+        # dist is in EVEN units; the byte distance is 2*dist
+        ok = same & (dist >= 1) & (2 * dist <= window) & (ml >= min_match)
+        return jnp.where(ok, ml, 0), jnp.where(ok, dist, 1)
+
+    ml_s, dist_s = cand_at(1)
+    for delta in range(2, probes + 1):
+        mld, distd = cand_at(delta)
+        better = mld > ml_s
+        ml_s = jnp.where(better, mld, ml_s)
+        dist_s = jnp.where(better, distd, dist_s)
+
+    # single-operand unsort (pos in the top bits -> keys unique)
+    packed_p = jax.lax.sort(
+        (pos_s.astype(jnp.uint32) << (pbits + 5))
+        | (ml_s.astype(jnp.uint32) << pbits)
+        | (dist_s - 1).astype(jnp.uint32),
+        is_stable=False)
+    packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
+    packed_p = packed_p.reshape(b, nwin * own)[:, :ne]
+    ml_e = ((packed_p >> pbits) & 0x1F).astype(jnp.uint32)
+    dist_b = 2 * ((packed_p & ((1 << pbits) - 1)) + 1)  # byte distance
+
+    # extension on the even lattice (unit=2): half the doubling traffic,
+    # and derived odd matches inherit fully extended lengths
+    p_e = (ml_e << 16) | (dist_b - 1).astype(jnp.uint32)
+    p_e = _extend_matches(p_e, cap0=ctx_bytes, max_match=max_match,
+                          min_match=min_match, n=ne, unit=2)
+
+    # expand to the byte plane: repeat gives position 2a+1 the match of
+    # 2a (same distance) — subtracting the parity bit derives the
+    # one-byte-shorter odd candidate in the same op
+    p_b = jnp.repeat(p_e, 2, axis=1)
+    ml = jnp.maximum((p_b >> 16).astype(jnp.int32) - (iota & 1), 0)
+    dist = (p_b & 0xFFFF).astype(jnp.int32) + 1
+    return _analyze_tail(data, lengths, iota, ml, dist, b, n, min_match,
+                         max_match, ctx_bytes, parse_seg, lz4_rules,
+                         extend=False)
+
+
 def _analyze_tail(data, lengths, iota, ml, dist, b, n, min_match,
-                  max_match, ctx_bytes, parse_seg, lz4_rules):
+                  max_match, ctx_bytes, parse_seg, lz4_rules,
+                  extend: bool = True):
     """Post-candidate stages shared by the lax.sort and Pallas search
     paths: match extension, lazy demotion, parse segmentation, greedy
     parse."""
@@ -346,15 +511,9 @@ def _analyze_tail(data, lengths, iota, ml, dist, b, n, min_match,
     # half, dist-1 <= 65535 below) so each doubling round moves half the
     # HBM bytes of the two-plane form
     p = (ml.astype(jnp.uint32) << 16) | (dist - 1).astype(jnp.uint32)
-    cap = ctx_bytes
-    while cap < max_match and cap < n:
-        np_ = _shl(p, cap, 0)
-        nml = (np_ >> 16).astype(jnp.int32)
-        cont = (((p >> 16) == cap) & (((np_ ^ p) & 0xFFFF) == 0)
-                & (nml >= min_match))
-        ext = jnp.minimum(cap + nml, max_match).astype(jnp.uint32)
-        p = jnp.where(cont, (ext << 16) | (p & 0xFFFF), p)
-        cap *= 2
+    if extend:
+        p = _extend_matches(p, cap0=ctx_bytes, max_match=max_match,
+                            min_match=min_match, n=n, unit=1)
     ml = (p >> 16).astype(jnp.int32)
     dist = (p & 0xFFFF).astype(jnp.int32) + 1
 
@@ -401,6 +560,7 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                   window: int = 32768, parse_seg: int = 8192,
                   ctx_words: int = CTX_WORDS, probes: int = 6,
                   search_seg: int = 0, search_overlap: int = 1024,
+                  search_stride: int = 1,
                   compact_seg: int = 0, pallas: str = None,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if pallas is None:
@@ -411,6 +571,7 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                           parse_seg=parse_seg, ctx_words=ctx_words,
                           probes=probes, search_seg=search_seg,
                           search_overlap=search_overlap,
+                          search_stride=search_stride,
                           compact_seg=compact_seg, pallas=pallas)
 
 
@@ -419,12 +580,14 @@ def lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                                              "ctx_words", "probes",
                                              "search_seg",
                                              "search_overlap",
+                                             "search_stride",
                                              "compact_seg", "pallas"))
 def _lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                    min_match: int = 4, max_match: int = 258,
                    window: int = 32768, parse_seg: int = 8192,
                    ctx_words: int = CTX_WORDS, probes: int = 6,
                    search_seg: int = 0, search_overlap: int = 1024,
+                   search_stride: int = 1,
                    compact_seg: int = 0, pallas: str = "scatter",
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tokenize a batch of chunks.
@@ -465,7 +628,8 @@ def _lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
         data, lengths, n=n, min_match=min_match, max_match=max_match,
         window=window, parse_seg=parse_seg, ctx_words=ctx_words,
         probes=probes, search_seg=search_seg,
-        search_overlap=search_overlap, pallas=pallas)
+        search_overlap=search_overlap, search_stride=search_stride,
+        pallas=pallas)
     b = data.shape[0]
 
     # --- literal runs over the POST-parse literal mask --------------------

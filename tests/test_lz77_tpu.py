@@ -303,3 +303,18 @@ def test_segmented_compaction_roundtrip(sample_chunks):
         # identical token stream to the unsegmented compaction
         assert np.array_equal(m, ref_toks[i][: ref_ntok[i]])
         assert tokens_to_bytes(m, len(m), c) == c
+
+
+def test_stride2_search_roundtrip(sample_chunks):
+    """Half-lattice (search_stride=2) candidate search decodes exactly.
+
+    The formulation is measured-and-rejected as the L1 default (−13.6%
+    ratio, see ops/lz77.py docstring) but stays available; this pins its
+    correctness so the priced data point remains reproducible."""
+    data, lengths = _batchify(sample_chunks, N)
+    toks, ntok = lz77_tokenize(data, lengths, n=N, search_seg=2048,
+                               search_overlap=512, search_stride=2)
+    toks, ntok = np.asarray(toks), np.asarray(ntok)
+    for i, chunk in enumerate(sample_chunks):
+        m = merge_segment_tokens(toks[i], ntok[i], parse_seg=8192)
+        assert tokens_to_bytes(m, len(m), chunk) == chunk

@@ -42,6 +42,7 @@ def main():
     p.add_argument("--probes", type=int, default=6)
     p.add_argument("--search-seg", type=int, default=0)
     p.add_argument("--search-overlap", type=int, default=1024)
+    p.add_argument("--search-stride", type=int, default=1)
     p.add_argument("--mb", type=int, default=8)
     p.add_argument("--corpus", default="mixed", choices=["mixed", "strided"])
     args = p.parse_args()
@@ -73,7 +74,8 @@ def main():
                                parse_seg=args.seg, ctx_words=args.ctx,
                                probes=args.probes,
                                search_seg=args.search_seg,
-                               search_overlap=args.search_overlap)
+                               search_overlap=args.search_overlap,
+                               search_stride=args.search_stride)
     toks = np.asarray(toks)
     ntok = np.asarray(ntok)
     total = 0
@@ -92,6 +94,7 @@ def main():
         "corpus": args.corpus, "ctx": args.ctx, "seg": args.seg,
         "probes": args.probes, "search_seg": args.search_seg,
         "search_overlap": args.search_overlap,
+        "search_stride": args.search_stride,
         "mb": b * n >> 20,
         "ratio": round(ours, 4), "zlib_l1_ratio": round(zratio, 4),
         "vs_zlib_l1": round(ours / zratio, 4),
