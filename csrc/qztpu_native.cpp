@@ -1336,6 +1336,7 @@ static const int HUFF_ROOT = 10;
 struct HuffTable {
   uint32_t root[1 << HUFF_ROOT];
   uint32_t sub[1 << 13];
+  uint32_t sub_used;   // sub entries actually allocated by build_table
 };
 
 // build from canonical code lengths; returns false on oversubscription
@@ -1392,6 +1393,7 @@ static bool build_table(const uint8_t* lens, int nsyms, HuffTable* ht) {
       }
     }
   }
+  ht->sub_used = suboff_acc;
   // pass 2: fill entries
   for (int i = 0; i < nsyms; ++i) {
     int l = lens[i];
@@ -1431,6 +1433,49 @@ static const uint8_t DIST_EXTRA_TBL[30] = {0, 0, 0, 0, 1, 1, 2, 2,  3,  3,
                                            4, 4, 5, 5, 6, 6, 7, 7,  8,  8,
                                            9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
 
+// ---------------------------------------------------------------------------
+// Packed-entry transform for the MAIN decode tables (litlen + dist).
+// build_table emits generic (sym << 5 | len) entries; the hot loop wants
+// everything a symbol implies in ONE load (libdeflate's trick), so the
+// tables are re-written in place:
+//   litlen:  literal   0x20000000 | byte<<8           | len
+//            EOB       0x40000000                     | len
+//            match     len_base<<16 | len_extra<<5    | len
+//            sym>285   0 (malformed — same path as "no code")
+//   dist:    dist_base<<16 | dist_extra<<5 | len      (sym>29 -> 0)
+// Root subtable pointers (bit31) pass through unchanged; dist_base<<16
+// can set bits 29/30 but the dist table carries no flags, so that's fine.
+// ---------------------------------------------------------------------------
+static void pack_entries(HuffTable* ht, bool is_litlen) {
+  auto xf = [is_litlen](uint32_t e) -> uint32_t {
+    if (!e || (e & 0x80000000u)) return e;
+    uint32_t sym = e >> 5, len = e & 31;
+    if (is_litlen) {
+      if (sym < 256) return 0x20000000u | (sym << 8) | len;
+      if (sym == 256) return 0x40000000u | len;
+      if (sym > 285) return 0;
+      uint32_t li = sym - 257;
+      return ((uint32_t)LEN_BASE_TBL[li] << 16) |
+             ((uint32_t)LEN_EXTRA_TBL[li] << 5) | len;
+    }
+    if (sym > 29) return 0;
+    return ((uint32_t)DIST_BASE_TBL[sym] << 16) |
+           ((uint32_t)DIST_EXTRA_TBL[sym] << 5) | len;
+  };
+  for (uint32_t i = 0; i < (1u << HUFF_ROOT); ++i)
+    ht->root[i] = xf(ht->root[i]);
+  for (uint32_t i = 0; i < ht->sub_used; ++i) ht->sub[i] = xf(ht->sub[i]);
+}
+
+// one load resolving root + optional subtable indirection
+static inline uint32_t resolve_packed(const HuffTable& ht, uint64_t bits) {
+  uint32_t e = ht.root[(uint32_t)bits & ((1u << HUFF_ROOT) - 1)];
+  if (e & 0x80000000u)
+    e = ht.sub[((e >> 5) & 0x3FFFFFFu) +
+               (((uint32_t)(bits >> HUFF_ROOT)) & ((1u << (e & 31)) - 1))];
+  return e;
+}
+
 static HuffTable g_static_lit;
 static HuffTable g_static_dist;
 
@@ -1441,9 +1486,11 @@ static void init_static_tables() {
   for (int i = 256; i < 280; ++i) ll[i] = 7;
   for (int i = 280; i < 288; ++i) ll[i] = 8;
   build_table(ll, 288, &g_static_lit);
+  pack_entries(&g_static_lit, true);
   uint8_t dl[30];
   for (int i = 0; i < 30; ++i) dl[i] = 5;
   build_table(dl, 30, &g_static_dist);
+  pack_entries(&g_static_dist, false);
 }
 
 static inline int decode_sym_nr(BitIn& in, const HuffTable& ht) {
@@ -1507,8 +1554,13 @@ static inline void copy_match(uint8_t* op, int64_t dist, int64_t len,
 
 // Decode one complete raw deflate stream (to BFINAL). Returns bytes
 // written, or -1 on malformed input / overflow. Thread-safe, GIL-free.
-int64_t qz_inflate_raw(const uint8_t* src, int64_t n, uint8_t* dst,
-                       int64_t cap) {
+// ``in_used`` (nullable) receives the INPUT bytes consumed through the
+// final bit of BFINAL, rounded up to a byte — callers use it to detect
+// trailing members a footer-scan mistook for payload (std gzip members
+// have no declared compressed size; the reference has the same blind
+// spot in findStdGzipFooter, qatzip_gzip.c:226-243, which we exceed).
+int64_t qz_inflate_raw2(const uint8_t* src, int64_t n, uint8_t* dst,
+                        int64_t cap, int64_t* in_used) {
   static bool ready = (init_static_tables(), true);
   (void)ready;
   BitIn in;
@@ -1596,28 +1648,34 @@ int64_t qz_inflate_raw(const uint8_t* src, int64_t n, uint8_t* dst,
         }
         if (!build_table(all, (int)hlit, lit_tbl)) goto done;
         if (!build_table(all + hlit, (int)hdist, dist_tbl)) goto done;
+        pack_entries(lit_tbl, true);
+        pack_entries(dist_tbl, false);
         lt = lit_tbl;
         dt = dist_tbl;
       }
+      // hot loop over PACKED entries: one table load yields the code
+      // length AND the symbol's base/extra (or the literal byte) — no
+      // auxiliary base-table loads on the match path
       for (;;) {
         in.refill();
-        int s = decode_sym_nr(in, *lt);
+        uint32_t e = resolve_packed(*lt, in.bits);
         // literal fast loop: one refill covers several <=15-bit codes
-        while ((unsigned)s < 256) {
+        while (e & 0x20000000u) {
           if (op >= oend) goto done;
-          *op++ = (uint8_t)s;
+          in.drop(e & 31);
+          *op++ = (uint8_t)(e >> 8);
           if (in.nbits < 20) in.refill();
-          s = decode_sym_nr(in, *lt);
+          e = resolve_packed(*lt, in.bits);
         }
-        if (s < 0 || in.overran()) goto done;
-        if (s == 256) break;
-        if (s > 285) goto done;
-        int li = s - 257;
+        if (!e || in.overran()) goto done;
+        in.drop(e & 31);
+        if (e & 0x40000000u) break;   // EOB
         in.refill();   // 56+ bits cover len extra + dist code + dist extra
-        int64_t len = LEN_BASE_TBL[li] + in.get(LEN_EXTRA_TBL[li]);
-        int d = decode_sym_nr(in, *dt);
-        if (d < 0 || d > 29 || in.overran()) goto done;
-        int64_t dist = DIST_BASE_TBL[d] + in.get(DIST_EXTRA_TBL[d]);
+        int64_t len = (int64_t)((e >> 16) & 0x1FF) + in.get((e >> 5) & 15);
+        uint32_t de = resolve_packed(*dt, in.bits);
+        if (!de || in.overran()) goto done;
+        in.drop(de & 31);
+        int64_t dist = (int64_t)(de >> 16) + in.get((de >> 5) & 15);
         if (dist > op - dst || op + len > oend) goto done;
         copy_match(op, dist, len, oend);
         op += len;
@@ -1632,7 +1690,16 @@ int64_t qz_inflate_raw(const uint8_t* src, int64_t n, uint8_t* dst,
     }
   }
 done:
+  if (in_used) {
+    int64_t bits = (int64_t)(in.p - src) * 8 - (in.nbits - in.pad * 8);
+    *in_used = result >= 0 ? (bits + 7) / 8 : 0;
+  }
   return result;   // lit_tbl/dist_tbl are thread_local, reused across calls
+}
+
+int64_t qz_inflate_raw(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t cap) {
+  return qz_inflate_raw2(src, n, dst, cap, nullptr);
 }
 
 // ---------------------------------------------------------------------------
@@ -1801,14 +1868,15 @@ void qz_inflate_batch(const uint8_t* src, const int64_t* in_off,
                       const int64_t* in_len, uint8_t* dst,
                       const int64_t* out_off, const int64_t* out_cap,
                       int64_t* out_len, uint32_t* crcs, int32_t nmem,
-                      int32_t nthreads) {
+                      int32_t nthreads, int64_t* in_used) {
   std::atomic<int32_t> next(0);
   auto worker = [&]() {
     for (;;) {
       int32_t i = next.fetch_add(1);
       if (i >= nmem) return;
-      int64_t r = qz_inflate_raw(src + in_off[i], in_len[i],
-                                 dst + out_off[i], out_cap[i]);
+      int64_t r = qz_inflate_raw2(src + in_off[i], in_len[i],
+                                  dst + out_off[i], out_cap[i],
+                                  in_used ? &in_used[i] : nullptr);
       out_len[i] = r;
       crcs[i] = r >= 0 ? qz_crc32(dst + out_off[i], r, 0) : 0;
     }

@@ -22,10 +22,11 @@ void qz_inflate_batch(const uint8_t* src, const int64_t* in_off,
                              const int64_t* in_len, uint8_t* dst,
                              const int64_t* out_off, const int64_t* out_cap,
                              int64_t* out_len, uint32_t* crcs, int32_t nmem,
-                             int32_t nthreads);
+                             int32_t nthreads, int64_t* in_used);
 
 /* inflate_batch_bytes(data, in_offs, in_lens, out_sizes, nthreads)
- *   -> (out: bytes, out_lens: bytes(int64 LE), crcs: bytes(uint32 LE))
+ *   -> (out: bytes, out_lens: bytes(int64 LE), crcs: bytes(uint32 LE),
+ *       in_used: bytes(int64 LE))
  * in_offs/in_lens/out_sizes are contiguous int64 buffers (numpy ok).
  */
 static PyObject* inflate_batch_bytes(PyObject* self, PyObject* args) {
@@ -38,6 +39,7 @@ static PyObject* inflate_batch_bytes(PyObject* self, PyObject* args) {
   PyObject* out = NULL;
   PyObject* outlens = NULL;
   PyObject* outcrcs = NULL;
+  PyObject* outused = NULL;
   int64_t* out_off = NULL;
   if (offs.len != lens.len || offs.len != sizes.len ||
       offs.len % 8 != 0) {
@@ -64,15 +66,17 @@ static PyObject* inflate_batch_bytes(PyObject* self, PyObject* args) {
     out = PyBytes_FromStringAndSize(NULL, total);
     outlens = PyBytes_FromStringAndSize(NULL, n * 8);
     outcrcs = PyBytes_FromStringAndSize(NULL, n * 4);
-    if (!out || !outlens || !outcrcs) goto fail;
+    outused = PyBytes_FromStringAndSize(NULL, n * 8);
+    if (!out || !outlens || !outcrcs || !outused) goto fail;
     if (n > 0) {
       uint8_t* dst = (uint8_t*)PyBytes_AS_STRING(out);
       int64_t* olen = (int64_t*)PyBytes_AS_STRING(outlens);
       uint32_t* crcs = (uint32_t*)PyBytes_AS_STRING(outcrcs);
+      int64_t* used = (int64_t*)PyBytes_AS_STRING(outused);
       const uint8_t* src = (const uint8_t*)data.buf;
       Py_BEGIN_ALLOW_THREADS;
       qz_inflate_batch(src, in_off, in_len, dst, out_off, cap, olen, crcs,
-                       (int32_t)n, (int32_t)nthreads);
+                       (int32_t)n, (int32_t)nthreads, used);
       Py_END_ALLOW_THREADS;
     }
   }
@@ -82,10 +86,11 @@ static PyObject* inflate_batch_bytes(PyObject* self, PyObject* args) {
   PyBuffer_Release(&lens);
   PyBuffer_Release(&sizes);
   {
-    PyObject* tup = PyTuple_Pack(3, out, outlens, outcrcs);
+    PyObject* tup = PyTuple_Pack(4, out, outlens, outcrcs, outused);
     Py_XDECREF(out);
     Py_XDECREF(outlens);
     Py_XDECREF(outcrcs);
+    Py_XDECREF(outused);
     return tup;
   }
 fail:
@@ -97,6 +102,7 @@ fail:
   Py_XDECREF(out);
   Py_XDECREF(outlens);
   Py_XDECREF(outcrcs);
+  Py_XDECREF(outused);
   return NULL;
 }
 

@@ -249,9 +249,10 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
                 # dest-buffer bound, src/qatzip.c:2909)
                 counters.bump("sw_decompress_fallback", 1, len(data))
                 return swc.sw_decompress_multi(data, data_fmt, max_out)
-            out_bytes, crcs, out_lens = _native.lib.inflate_batch_bytes(
-                data, in_offs, in_lens, sizes_a)
-            if (out_lens == sizes_a).all():
+            out_bytes, crcs, out_lens, in_used = \
+                _native.lib.inflate_batch_bytes(data, in_offs, in_lens,
+                                                sizes_a)
+            if (out_lens == sizes_a).all() and (in_used == in_lens).all():
                 if verify and not (crcs == want_crcs).all():
                     raise QzError(QZ_DATA_ERROR, "member crc32 mismatch")
                 total_crc = crc32_combine_many([int(c) for c in crcs],
@@ -275,9 +276,17 @@ def decompress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
             and (max_out is None or sum(sizes) <= max_out)):
         in_offs = [m.payload_off for m in members]
         in_lens = [m.payload_sz for m in members]
-        out_bytes, crcs, out_lens = _native.lib.inflate_batch_bytes(
+        out_bytes, crcs, out_lens, in_used = _native.lib.inflate_batch_bytes(
             data, in_offs, in_lens, sizes)
-        if all(int(ol) == s for ol, s in zip(out_lens, sizes)):
+        # in_used < payload means a footer-scan mislabeled trailing input
+        # as payload — std gzip members carry no compressed size, so a
+        # concatenated stream (e.g. two stock `gzip` outputs, FNAME flag
+        # set) scans as ONE member; the sequential SW walker decodes each
+        # member where it actually ends (stock gzip semantics; exceeds
+        # the reference, whose findStdGzipFooter has the same blind spot)
+        if (all(int(ol) == s for ol, s in zip(out_lens, sizes))
+                and all(int(u) == m.payload_sz
+                        for u, m in zip(in_used, members))):
             if verify:
                 for m, c in zip(members, crcs):
                     if m.crc32 is not None and int(c) != m.crc32:

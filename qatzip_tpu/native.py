@@ -181,7 +181,8 @@ class _NativeLib:
         L.qz_inflate_batch.restype = None
         L.qz_inflate_batch.argtypes = [_u8p, _i64p, _i64p, _u8p, _i64p,
                                        _i64p, _i64p, _u32p,
-                                       ctypes.c_int32, ctypes.c_int32]
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       _i64p]
         L.qz_deflate_pack.restype = ctypes.c_int64
         L.qz_deflate_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                       ctypes.c_int64, _u8p, ctypes.c_int64,
@@ -241,8 +242,11 @@ class _NativeLib:
         a native thread pool (GIL-free end to end).
 
         Returns (out: np.uint8 array of sum(out_sizes), member_crcs,
-        member_lens). A malformed member has len -1; caller decides the
-        fallback (the SW route, as the reference does per-member).
+        member_lens, member_in_used). A malformed member has len -1;
+        caller decides the fallback (the SW route, as the reference does
+        per-member). ``in_used[i]`` = input bytes the decode consumed —
+        a value short of the member's payload size means a footer-scan
+        mislabeled trailing data (e.g. concatenated std-gzip members).
         """
         import os as _os
         n = len(in_offs)
@@ -256,6 +260,7 @@ class _NativeLib:
         total = int(caps.sum())
         dst = np.empty(max(total, 1), np.uint8)
         out_lens = np.empty(n, np.int64)
+        in_used = np.empty(n, np.int64)
         crcs = np.empty(n, np.uint32)
         if nthreads <= 0:
             # oversubscribe: crc32 and table-build phases leave bubbles
@@ -267,8 +272,9 @@ class _NativeLib:
             in_offs.ctypes.data_as(_i64p), in_lens.ctypes.data_as(_i64p),
             self._as_u8p(dst), out_offs.ctypes.data_as(_i64p),
             caps.ctypes.data_as(_i64p), out_lens.ctypes.data_as(_i64p),
-            crcs.ctypes.data_as(_u32p), n, nthreads)
-        return dst[:total], crcs, out_lens
+            crcs.ctypes.data_as(_u32p), n, nthreads,
+            in_used.ctypes.data_as(_i64p))
+        return dst[:total], crcs, out_lens, in_used
 
     def inflate_batch_bytes(self, data, in_offs, in_lens, out_sizes,
                             nthreads: int = 0):
@@ -276,7 +282,8 @@ class _NativeLib:
         wrote directly (zero copy, via the CPython extension). Falls back
         to the numpy path + one copy when the extension is unavailable.
 
-        Returns (out: bytes, member_crcs: np.uint32, member_lens: np.int64).
+        Returns (out: bytes, member_crcs: np.uint32, member_lens: np.int64,
+        member_in_used: np.int64).
         """
         import os as _os
         if nthreads <= 0:
@@ -287,13 +294,14 @@ class _NativeLib:
             offs = np.ascontiguousarray(in_offs, np.int64)
             lens = np.ascontiguousarray(in_lens, np.int64)
             caps = np.ascontiguousarray(out_sizes, np.int64)
-            out, lens_b, crcs_b = pyext.inflate_batch_bytes(
+            out, lens_b, crcs_b, used_b = pyext.inflate_batch_bytes(
                 data, offs, lens, caps, nthreads)
             return (out, np.frombuffer(crcs_b, np.uint32),
-                    np.frombuffer(lens_b, np.int64))
-        arr, crcs, out_lens = self.inflate_batch(data, in_offs, in_lens,
-                                                 out_sizes, nthreads)
-        return arr.tobytes(), crcs, out_lens
+                    np.frombuffer(lens_b, np.int64),
+                    np.frombuffer(used_b, np.int64))
+        arr, crcs, out_lens, in_used = self.inflate_batch(
+            data, in_offs, in_lens, out_sizes, nthreads)
+        return arr.tobytes(), crcs, out_lens, in_used
 
     def scan_gzipext(self, data):
         """Walk strict QZ-ext gzip members natively (the checkHeader

@@ -182,3 +182,38 @@ def test_lz4_frame_with_block_checksums():
     except QzError:
         raised = True
     assert raised
+
+
+def test_concatenated_std_gzip_members():
+    """Concatenated stock-gzip streams (FNAME flag set) decode fully.
+
+    findStdGzipFooter can't see a member boundary when the next header's
+    FLG byte is nonzero, so the native fast path reports input-consumed
+    per member (qz_inflate_raw2) and the walk falls back to the
+    sequential decoder — stock `gzip -dc` semantics, exceeding the
+    reference (its scan has the same blind spot, qatzip_gzip.c:226-243)."""
+    import gzip as gz
+    import io
+
+    import numpy as np
+
+    import qatzip_tpu as qz
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, 100000, dtype=np.uint8).tobytes()
+    b = (b"repetitive content " * 3000)[:50000]
+    buf = io.BytesIO()
+    with gz.GzipFile(fileobj=buf, mode="wb", filename="x") as f:
+        f.write(a)
+    with gz.GzipFile(fileobj=buf, mode="wb", filename="y") as f:
+        f.write(b)
+    s = qz.QzSession()
+    s.setup_deflate()
+    assert s.decompress(buf.getvalue()) == a + b
+    # identical-content members: crc/ISIZE collide by construction, only
+    # the consumed-input check can reject the single-member misparse
+    buf2 = io.BytesIO()
+    for _ in range(2):
+        with gz.GzipFile(fileobj=buf2, mode="wb", filename="z") as f:
+            f.write(b)
+    assert s.decompress(buf2.getvalue()) == b + b
