@@ -78,6 +78,53 @@ def _fetch_bucket(maxv: int, cap: int) -> int:
     return min(k, cap)
 
 
+_RELAY_LIMITED: Optional[bool] = None
+
+
+def relay_limited() -> bool:
+    """Measure (once per process) whether device→host bandwidth is the
+    bottleneck — thin dev tunnels move d2h at ~MB/s while a real host's
+    PCIe moves GB/s. Two fetches (4 KB for latency, 512 KB incompressible
+    for latency+transfer) separate dispatch latency from bandwidth so a
+    fast host's ~ms round-trip isn't misread as a thin link. Used by the
+    auto router: when the link is thin, the full-device pack path wins
+    end-to-end because d2h carries final deflate words (~2.4× fewer
+    bytes than token streams). Override with QZTPU_RELAY_LIMITED=0/1."""
+    global _RELAY_LIMITED
+    if _RELAY_LIMITED is not None:
+        return _RELAY_LIMITED
+    env = os.environ.get("QZTPU_RELAY_LIMITED")
+    if env in ("0", "1"):
+        _RELAY_LIMITED = env == "1"
+        return _RELAY_LIMITED
+    try:
+        import time
+
+        import jax
+
+        rng = np.random.default_rng(5)
+        small = jax.device_put(rng.integers(0, 2**31, (1024,),
+                                            dtype=np.int64).astype(np.uint32))
+        big = jax.device_put(rng.integers(0, 2**31, (128 * 1024,),
+                                          dtype=np.int64).astype(np.uint32))
+        jax.device_get(small)          # settle + compile the fetch
+        t0 = time.perf_counter()
+        jax.device_get(small)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(big)
+        t_big = time.perf_counter() - t0
+        dt = max(t_big - t_small, 1e-9)
+        bw_mbps = (512 - 4) * 1024 / dt / 1e6
+        _RELAY_LIMITED = bw_mbps < 200.0
+        qz_log("relay probe: d2h ~%.1f MB/s -> relay_limited=%s",
+               bw_mbps, _RELAY_LIMITED)
+    except Exception as e:  # noqa: BLE001 — probe failure = assume fast
+        qz_log("relay probe failed (%s); assuming fast link", e)
+        _RELAY_LIMITED = False
+    return _RELAY_LIMITED
+
+
 def _tok_speed(level: int, n: int):
     """Per-level tokenizer speed knobs (search_seg, search_overlap,
     compact_seg).
@@ -259,8 +306,14 @@ class TpuEngine:
             else [True] * len(chunks)
 
         device_pack = os.environ.get("QZTPU_DEVICE_PACK", "auto")
+        # auto: static sessions always pack on device; DYNAMIC sessions
+        # pack on device when the d2h link is the bottleneck (final
+        # deflate words are ~2.4x smaller than token streams) — the
+        # router picking the faster engine end-to-end, like the
+        # reference's SW-vs-HW gate (src/qatzip.c:2098-2116)
         use_device_pack = (device_pack == "1"
-                           or (device_pack == "auto" and huffman_static))
+                           or (device_pack == "auto"
+                               and (huffman_static or relay_limited())))
         # both device packers shard over the dp mesh (rows and per-row
         # trees are independent; the dynamic host tree build sits between
         # two sharded passes)
