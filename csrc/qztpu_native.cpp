@@ -21,6 +21,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <thread>
+#include <vector>
 
 #define ZSTD_STATIC_LINKING_ONLY 1
 #include <zstd.h>
@@ -562,12 +563,14 @@ struct BitWriter {
     int64_t byte = bitpos >> 3;
     int shift = (int)(bitpos & 7);
     if (byte + 8 > cap) { overflow = true; return; }
-    uint64_t cur = (uint64_t)value << shift;
-    // OR into up to 5 bytes
-    for (int k = 0; k < 5 && cur; ++k) {
-      dst[byte + k] |= (uint8_t)(cur & 0xFF);
-      cur >>= 8;
-    }
+    // one 8-byte read-OR-write instead of a per-byte loop: value<<shift
+    // is <= 39 bits, dst is pre-zeroed and bits are append-only, so the
+    // OR never clobbers later bytes (stateless — safe across the direct
+    // bitpos manipulation emit_stored does)
+    uint64_t cur;
+    std::memcpy(&cur, dst + byte, 8);
+    cur |= (uint64_t)value << shift;
+    std::memcpy(dst + byte, &cur, 8);
     bitpos += nbits;
   }
 };
@@ -1890,6 +1893,122 @@ void qz_inflate_batch(const uint8_t* src, const int64_t* in_off,
   if (nt > 64) nt = 64;
   for (int t = 0; t < nt; ++t) threads[t] = std::thread(worker);
   for (int t = 0; t < nt; ++t) threads[t].join();
+}
+
+// ---------------------------------------------------------------------------
+// Host LZ77 tokenizer — hash-4 chain matcher emitting the SAME packed
+// token stream the device tokenizer produces (ops/lz77.py format), so the
+// native entropy packers (qz_deflate_pack mode 0: best of stored/static/
+// dynamic) turn it into final deflate bytes. This is the software codec's
+// fast path: the reference's SW fallback is stock zlib (src/qatzip_sw.c);
+// a dedicated matcher + the package-merge dynamic packer beats zlib L1 on
+// both speed and ratio per core (measured; see engines.py).
+//   match:       0x80000000 | len<<16 | (dist-1)
+//   literal run: 0x40000000 | runlen (<= 16383)
+// Thread-safe (thread_local tables), GIL-free.
+// ---------------------------------------------------------------------------
+namespace {
+static const int HLOG = 15;
+static inline uint32_t h4(const uint8_t* p) {
+  uint32_t w;
+  std::memcpy(&w, p, 4);
+  return (w * 2654435761u) >> (32 - HLOG);
+}
+// common-prefix length of a vs b, up to maxlen (8-byte compares)
+static inline int match_len(const uint8_t* a, const uint8_t* b, int maxlen) {
+  int k = 0;
+  while (k + 8 <= maxlen) {
+    uint64_t x, y;
+    std::memcpy(&x, a + k, 8);
+    std::memcpy(&y, b + k, 8);
+    uint64_t d = x ^ y;
+    if (d) return k + (__builtin_ctzll(d) >> 3);
+    k += 8;
+  }
+  while (k < maxlen && a[k] == b[k]) ++k;
+  return k;
+}
+}  // namespace
+
+// Returns token count, or -1 when cap is too small. chain = max hash-chain
+// probes per position (8 ~ zlib L1 ratio+, 32 ~ L6-class).
+int64_t qz_lz77_host(const uint8_t* src, int64_t n, uint32_t* toks,
+                     int64_t cap, int32_t chain) {
+  static thread_local std::vector<int32_t> head_v, prev_v;
+  if ((int64_t)prev_v.size() < n) prev_v.resize((size_t)n);
+  head_v.assign(1 << HLOG, -1);
+  int32_t* head = head_v.data();
+  int32_t* prev = prev_v.data();
+
+  int64_t t = 0, lit_start = 0;
+  auto flush_lits = [&](int64_t upto) -> bool {
+    while (lit_start < upto) {
+      int64_t r = upto - lit_start;
+      if (r > 16383) r = 16383;
+      if (t >= cap) return false;
+      toks[t++] = 0x40000000u | (uint32_t)r;
+      lit_start += r;
+    }
+    return true;
+  };
+
+  int64_t pos = 0;
+  const int64_t hash_end = n - 3;   // last position with 4 bytes to hash
+  int64_t miss_run = 0;             // consecutive positions with no match
+  while (pos < hash_end) {
+    uint32_t h = h4(src + pos);
+    int32_t cand = head[h];
+    prev[pos] = cand;
+    head[h] = (int32_t)pos;
+
+    int best = 0;
+    int64_t best_dist = 0;
+    int maxlen = (int)((n - pos) < 258 ? (n - pos) : 258);
+    int good = maxlen < 32 ? maxlen : 32;   // early-exit length
+    uint32_t want;
+    std::memcpy(&want, src + pos, 4);
+    for (int32_t depth = 0; cand >= 0 && depth < chain;
+         ++depth, cand = prev[cand]) {
+      if (pos - cand > 32768) break;
+      uint32_t got;
+      std::memcpy(&got, src + cand, 4);
+      if (got != want) continue;
+      int len = match_len(src + pos, src + cand, maxlen);
+      if (len > best) {
+        best = len;
+        best_dist = pos - cand;
+        if (len >= good) break;   // good-enough match — stop the chain
+      }
+    }
+    if (best >= 4) {
+      miss_run = 0;
+      if (!flush_lits(pos) || t >= cap) return -1;
+      toks[t++] = 0x80000000u | ((uint32_t)best << 16)
+                  | (uint32_t)(best_dist - 1);
+      // insert hashes across short matched spans only (the ratio case);
+      // long spans skip insertion — zlib's max_insert_length idea
+      int64_t end = pos + best;
+      if (best <= 16) {
+        for (int64_t q = pos + 1; q < end && q < hash_end; ++q) {
+          uint32_t hq = h4(src + q);
+          prev[q] = head[hq];
+          head[hq] = (int32_t)q;
+        }
+      }
+      pos = end;
+      lit_start = pos;
+    } else {
+      // literal-skip acceleration (snappy/LZ4-style): in regions with no
+      // matches, probe-and-insert at a growing stride — incompressible
+      // data approaches memcpy speed; the deflate token stream is
+      // unaffected (skipped positions are literals either way) and a
+      // fresh match region resets the stride
+      ++miss_run;
+      pos += 1 + (miss_run >> 6);
+    }
+  }
+  if (!flush_lits(n)) return -1;
+  return t;
 }
 
 }  // extern "C"

@@ -65,9 +65,11 @@ def compress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
         # reference's SW path is serial per request, but its performance
         # model is N processes × M threads over independent hw_buff_sz
         # members (test/performance_tests/run_perf_test.sh:106-125) — one
-        # process reaching all cores is the same parallelism, per-chunk
-        # payloads and member framing are byte-identical to the serial
-        # path (shared deflate_raw_compress + output_header/footer_gen).
+        # process reaching all cores is the same parallelism with the
+        # same member framing. Levels 1-5 default to the native
+        # matcher+packer (~zlib-L1 speed, ~+8% ratio; QZTPU_SW_CODER=zlib
+        # restores bit-exact zlib payloads, which levels >= 6 and the
+        # serial path always use).
         if (len(data) > hw_buff_sz
                 and os.environ.get("QZTPU_SW_POOL", "1") != "0"):
             return _engine_compress(

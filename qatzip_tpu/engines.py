@@ -50,6 +50,7 @@ class HostEngine:
                         final_flags: Optional[Sequence[bool]] = None,
                         mini_match: int = 3,
                         huffman_static: bool = False,
+                        sw_coder: Optional[str] = None,
                         ) -> List[Tuple[bytes, int]]:
         """Compress each chunk to an independent raw payload + its crc32.
 
@@ -61,10 +62,30 @@ class HostEngine:
         zlevel = effective_deflate_sw_level(level)
         finals = final_flags or [True] * len(chunks)
 
+        from . import native as _native
+        # SW deflate coder: the native matcher + package-merge packer
+        # (qz_lz77_host + qz_deflate_pack mode 0) measures ~zlib-L1 speed
+        # at ~+8% ratio per core on mixed data, so speed levels (1-5)
+        # default to it; levels >= 6 keep zlib's deeper search, and
+        # QZTPU_SW_CODER=zlib restores bit-exact zlib output everywhere
+        # (the reference's SW path is stock zlib, src/qatzip_sw.c).
+        # ``sw_coder`` overrides the env knob — CnV fallbacks force
+        # "zlib" so a failing native packer can never re-encode its own
+        # verification failure (the independent-implementation rule).
+        coder = sw_coder or os.environ.get("QZTPU_SW_CODER", "native")
+        use_native_coder = (
+            algorithm == "deflate" and _native.lib is not None
+            and zlevel <= 5 and coder == "native")
+        chain = 4 if zlevel <= 3 else 16
+
         def one(args):
             chunk, final = args
             if algorithm == "deflate":
-                if final:
+                if use_native_coder and chunk:
+                    toks = _native.lib.lz77_host(chunk, chain=chain)
+                    payload = _native.lib.deflate_pack(
+                        chunk, toks, len(toks), final=final, mode=0)
+                elif final:
                     payload = deflate_raw_compress(chunk, zlevel)
                 else:
                     co = zlib.compressobj(zlevel, zlib.DEFLATED, -15)

@@ -187,6 +187,9 @@ class _NativeLib:
         L.qz_deflate_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                       ctypes.c_int64, _u8p, ctypes.c_int64,
                                       ctypes.c_int32, ctypes.c_int32]
+        L.qz_lz77_host.restype = ctypes.c_int64
+        L.qz_lz77_host.argtypes = [_u8p, ctypes.c_int64, _u32p,
+                                   ctypes.c_int64, ctypes.c_int32]
         L.qz_lz4_pack.restype = ctypes.c_int64
         L.qz_lz4_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                   ctypes.c_int64, _u8p, ctypes.c_int64]
@@ -450,6 +453,24 @@ class _NativeLib:
     def _pool():
         from .memory import default_pool
         return default_pool
+
+    def lz77_host(self, src, chain: int = 8) -> np.ndarray:
+        """Host hash-chain LZ77 tokenizer (same packed-u32 token format
+        as the device tokenizer, ops/lz77.py). The SW codec's fast
+        matcher: qz_lz77_host + qz_deflate_pack(mode 0) replaces zlib on
+        the software path (qzSWCompress analog) when it wins — measured
+        per-core speed AND ratio above zlib L1 (see engines.py)."""
+        n = len(src)
+        sa = (np.frombuffer(src, np.uint8) if not isinstance(src, np.ndarray)
+              else src)
+        cap = n // 3 + 64
+        toks = np.empty(cap, np.uint32)
+        r = self._lib.qz_lz77_host(
+            self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
+            n, toks.ctypes.data_as(_u32p), cap, chain)
+        if r < 0:
+            raise RuntimeError("lz77_host token overflow")
+        return toks[:int(r)]
 
     def deflate_pack(self, src, tokens: np.ndarray, ntok: int,
                      final: bool = True, mode: int = 0) -> bytes:

@@ -658,9 +658,11 @@ class TpuEngine:
         qz_log("CnV mismatch — software fallback for %d-byte chunk",
                len(chunk))
         from ..engines import host_engine
+        # force the zlib coder: the fallback must be INDEPENDENT of the
+        # native packer whose output just failed verification
         (fb, _), = host_engine.compress_chunks(
             [chunk], level=level, algorithm=algorithm,
-            final_flags=[final], mini_match=mini_match)
+            final_flags=[final], mini_match=mini_match, sw_coder="zlib")
         return fb
 
     def decompress_chunks(self, payloads: Sequence[bytes],
