@@ -1907,6 +1907,8 @@ void qz_inflate_batch(const uint8_t* src, const int64_t* in_off,
 //   literal run: 0x40000000 | runlen (<= 16383)
 // Thread-safe (thread_local tables), GIL-free.
 // ---------------------------------------------------------------------------
+}  // extern "C" — the matcher template below needs C++ linkage
+
 namespace {
 static const int HLOG = 15;
 static inline uint32_t h4(const uint8_t* p) {
@@ -1930,15 +1932,14 @@ static inline int match_len(const uint8_t* a, const uint8_t* b, int maxlen) {
 }
 }  // namespace
 
-// Returns token count, or -1 when cap is too small. chain = max hash-chain
-// probes per position (8 ~ zlib L1 ratio+, 32 ~ L6-class).
-int64_t qz_lz77_host(const uint8_t* src, int64_t n, uint32_t* toks,
-                     int64_t cap, int32_t chain) {
-  static thread_local std::vector<int32_t> head_v, prev_v;
-  if ((int64_t)prev_v.size() < n) prev_v.resize((size_t)n);
-  head_v.assign(1 << HLOG, -1);
-  int32_t* head = head_v.data();
-  int32_t* prev = prev_v.data();
+namespace {
+// Matcher core, templated on the position type: 64 KB chunks (the
+// default hw_buff_sz — the hot case) use uint16 tables, halving the
+// head+prev cache footprint to 192 KB.
+template <typename PosT>
+static int64_t lz77_host_impl(const uint8_t* src, int64_t n, uint32_t* toks,
+                              int64_t cap, int32_t chain, PosT* head,
+                              PosT* prev) {
 
   int64_t t = 0, lit_start = 0;
   auto flush_lits = [&](int64_t upto) -> bool {
@@ -1957,9 +1958,9 @@ int64_t qz_lz77_host(const uint8_t* src, int64_t n, uint32_t* toks,
   int64_t miss_run = 0;             // consecutive positions with no match
   while (pos < hash_end) {
     uint32_t h = h4(src + pos);
-    int32_t cand = head[h];
-    prev[pos] = cand;
-    head[h] = (int32_t)pos;
+    int64_t cand = (int64_t)head[h];
+    prev[pos] = head[h];
+    head[h] = (PosT)pos;
 
     int best = 0;
     int64_t best_dist = 0;
@@ -1967,18 +1968,25 @@ int64_t qz_lz77_host(const uint8_t* src, int64_t n, uint32_t* toks,
     int good = maxlen < 32 ? maxlen : 32;   // early-exit length
     uint32_t want;
     std::memcpy(&want, src + pos, 4);
-    for (int32_t depth = 0; cand >= 0 && depth < chain;
-         ++depth, cand = prev[cand]) {
+    for (int32_t depth = 0; depth < chain; ++depth) {
+      // terminator AND stale-entry guard: an empty bucket reads as
+      // PosT(-1), and thread_local prev entries from an earlier chunk
+      // may point anywhere — any cand >= pos ends the walk, and every
+      // accepted candidate is verified by byte comparison below, so a
+      // stale-but-smaller cand costs a probe, never a wrong token
+      if (cand >= pos) break;
       if (pos - cand > 32768) break;
       uint32_t got;
       std::memcpy(&got, src + cand, 4);
-      if (got != want) continue;
-      int len = match_len(src + pos, src + cand, maxlen);
-      if (len > best) {
-        best = len;
-        best_dist = pos - cand;
-        if (len >= good) break;   // good-enough match — stop the chain
+      if (got == want) {
+        int len = match_len(src + pos, src + cand, maxlen);
+        if (len > best) {
+          best = len;
+          best_dist = pos - cand;
+          if (len >= good) break;   // good-enough match — stop the chain
+        }
       }
+      cand = (int64_t)prev[cand];
     }
     if (best >= 4) {
       miss_run = 0;
@@ -1992,7 +2000,7 @@ int64_t qz_lz77_host(const uint8_t* src, int64_t n, uint32_t* toks,
         for (int64_t q = pos + 1; q < end && q < hash_end; ++q) {
           uint32_t hq = h4(src + q);
           prev[q] = head[hq];
-          head[hq] = (int32_t)q;
+          head[hq] = (PosT)q;
         }
       }
       pos = end;
@@ -2010,5 +2018,26 @@ int64_t qz_lz77_host(const uint8_t* src, int64_t n, uint32_t* toks,
   if (!flush_lits(n)) return -1;
   return t;
 }
+}  // namespace
 
-}  // extern "C"
+// Returns token count, or -1 when cap is too small. chain = max hash-chain
+// probes per position (4 ~ Pareto-above zlib L1-L3, 16+ ~ mid levels).
+extern "C" int64_t qz_lz77_host(const uint8_t* src, int64_t n,
+                                uint32_t* toks, int64_t cap, int32_t chain) {
+  if (n <= 65536) {
+    // u16 tables; head/prev fit ~192 KB. PosT(-1)=65535 never collides
+    // with a real insertion (max inserted pos is n-4 <= 65532).
+    static thread_local std::vector<uint16_t> head16, prev16;
+    if (head16.empty()) head16.resize((size_t)1 << HLOG);
+    if ((int64_t)prev16.size() < n) prev16.resize(65536);
+    std::memset(head16.data(), 0xFF, head16.size() * 2);
+    return lz77_host_impl<uint16_t>(src, n, toks, cap, chain,
+                                    head16.data(), prev16.data());
+  }
+  static thread_local std::vector<uint32_t> head32, prev32;
+  if (head32.empty()) head32.resize((size_t)1 << HLOG);
+  if ((int64_t)prev32.size() < n) prev32.resize((size_t)n);
+  std::memset(head32.data(), 0xFF, head32.size() * 4);
+  return lz77_host_impl<uint32_t>(src, n, toks, cap, chain,
+                                  head32.data(), prev32.data());
+}
