@@ -70,8 +70,10 @@ def compress_buffer(data: bytes, *, algorithm: str, data_fmt: DataFormat,
         # matcher+packer (~zlib-L1 speed, ~+8% ratio; QZTPU_SW_CODER=zlib
         # restores bit-exact zlib payloads, which levels >= 6 and the
         # serial path always use).
-        if (len(data) > hw_buff_sz
-                and os.environ.get("QZTPU_SW_POOL", "1") != "0"):
+        # All request sizes route through the host engine so sync and
+        # async (cross-request-batched) outputs stay byte-identical —
+        # single-chunk requests run inline, multi-chunk fan out.
+        if os.environ.get("QZTPU_SW_POOL", "1") != "0":
             return _engine_compress(
                 data, algorithm=algorithm, data_fmt=data_fmt, level=level,
                 hw_buff_sz=hw_buff_sz, engine=host_engine,

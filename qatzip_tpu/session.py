@@ -208,13 +208,19 @@ class QzSession:
             engine = None
         batchable = [i for i, d in enumerate(datas)
                      if len(d) >= c.input_sz_thrshold]
-        if (engine is None or not batchable
+        if (not batchable
                 or self._sw_backup == QZ_AUTO_SELECT_BEST
                 or (self.algorithm == "lz4s"
                     and self.qz_callback is not None)):
             # per-request path (SW gate / AUTO_SELECT_BEST smaller-of-two
             # comparison / post-process hook semantics)
             return [self.compress(d, with_crc=True) for d in datas]
+        if engine is None:
+            # SW mode still batches: all requests' chunks flatten into
+            # one host-pool dispatch (the async ring absorbed by the SW
+            # "instance pool" — same cross-request coalescing the device
+            # engine gets)
+            from .engines import host_engine as engine  # noqa: F811
         # requests under the SW threshold keep their per-request SW route
         # (reference input_sz_thrshold gate, src/qatzip.c:2098-2116)
         results: list = [None] * len(datas)
