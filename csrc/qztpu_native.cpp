@@ -2018,12 +2018,106 @@ static int64_t lz77_host_impl(const uint8_t* src, int64_t n, uint32_t* toks,
   if (!flush_lits(n)) return -1;
   return t;
 }
+// Lazy (deflate_slow-style) variant: a match at p is deferred one
+// position; if p+1 holds a strictly longer match, p becomes a literal
+// and the longer match wins. ~2x the chain walks of the greedy path for
+// a few percent better ratio — the mid-level operating point.
+template <typename PosT>
+static int64_t lz77_host_lazy_impl(const uint8_t* src, int64_t n,
+                                   uint32_t* toks, int64_t cap,
+                                   int32_t chain, PosT* head, PosT* prev) {
+  int64_t t = 0, lit_start = 0;
+  auto flush_lits = [&](int64_t upto) -> bool {
+    while (lit_start < upto) {
+      int64_t r = upto - lit_start;
+      if (r > 16383) r = 16383;
+      if (t >= cap) return false;
+      toks[t++] = 0x40000000u | (uint32_t)r;
+      lit_start += r;
+    }
+    return true;
+  };
+  const int64_t hash_end = n - 3;
+  auto find = [&](int64_t pos, int& best, int64_t& best_dist) {
+    uint32_t h = h4(src + pos);
+    int64_t cand = (int64_t)head[h];
+    prev[pos] = head[h];
+    head[h] = (PosT)pos;
+    best = 0;
+    best_dist = 0;
+    int maxlen = (int)((n - pos) < 258 ? (n - pos) : 258);
+    int good = maxlen < 64 ? maxlen : 64;
+    uint32_t want;
+    std::memcpy(&want, src + pos, 4);
+    for (int32_t depth = 0; depth < chain; ++depth) {
+      if (cand >= pos) break;          // empty/stale terminator (see above)
+      if (pos - cand > 32768) break;
+      uint32_t got;
+      std::memcpy(&got, src + cand, 4);
+      if (got == want) {
+        int len = match_len(src + pos, src + cand, maxlen);
+        if (len > best) {
+          best = len;
+          best_dist = pos - cand;
+          if (len >= good) break;
+        }
+      }
+      cand = (int64_t)prev[cand];
+    }
+  };
+
+  int64_t pos = 0;
+  int prev_best = 0;
+  int64_t prev_dist = 0;               // deferred match found at pos-1
+  while (pos < hash_end) {
+    int best;
+    int64_t best_dist;
+    find(pos, best, best_dist);
+    if (prev_best >= 4 && best <= prev_best) {
+      // the deferred match at pos-1 stands
+      if (!flush_lits(pos - 1) || t >= cap) return -1;
+      toks[t++] = 0x80000000u | ((uint32_t)prev_best << 16)
+                  | (uint32_t)(prev_dist - 1);
+      int64_t end = pos - 1 + prev_best;
+      if (prev_best <= 32) {           // pos already inserted; add the rest
+        for (int64_t q = pos + 1; q < end && q < hash_end; ++q) {
+          uint32_t hq = h4(src + q);
+          prev[q] = head[hq];
+          head[hq] = (PosT)q;
+        }
+      }
+      pos = end;
+      lit_start = pos;
+      prev_best = 0;
+      continue;
+    }
+    if (best >= 4) {
+      prev_best = best;               // defer — pos+1 may hold better
+      prev_dist = best_dist;
+      ++pos;
+      continue;
+    }
+    prev_best = 0;
+    ++pos;
+  }
+  if (prev_best >= 4 && pos - 1 + prev_best <= n) {
+    if (!flush_lits(pos - 1) || t >= cap) return -1;
+    toks[t++] = 0x80000000u | ((uint32_t)prev_best << 16)
+                | (uint32_t)(prev_dist - 1);
+    lit_start = pos - 1 + prev_best;
+  }
+  if (!flush_lits(n)) return -1;
+  return t;
+}
 }  // namespace
 
 // Returns token count, or -1 when cap is too small. chain = max hash-chain
-// probes per position (4 ~ Pareto-above zlib L1-L3, 16+ ~ mid levels).
+// probes per position (4 ~ Pareto-above zlib L1-L3, 16+ ~ mid levels);
+// negative chain = |chain| probes with LAZY evaluation (deflate_slow).
 extern "C" int64_t qz_lz77_host(const uint8_t* src, int64_t n,
                                 uint32_t* toks, int64_t cap, int32_t chain) {
+  bool lazy = chain < 0;
+  if (lazy) chain = -chain;
   if (n <= 65536) {
     // u16 tables; head/prev fit ~192 KB. PosT(-1)=65535 never collides
     // with a real insertion (max inserted pos is n-4 <= 65532).
@@ -2031,13 +2125,17 @@ extern "C" int64_t qz_lz77_host(const uint8_t* src, int64_t n,
     if (head16.empty()) head16.resize((size_t)1 << HLOG);
     if ((int64_t)prev16.size() < n) prev16.resize(65536);
     std::memset(head16.data(), 0xFF, head16.size() * 2);
-    return lz77_host_impl<uint16_t>(src, n, toks, cap, chain,
-                                    head16.data(), prev16.data());
+    return lazy ? lz77_host_lazy_impl<uint16_t>(src, n, toks, cap, chain,
+                                                head16.data(), prev16.data())
+                : lz77_host_impl<uint16_t>(src, n, toks, cap, chain,
+                                           head16.data(), prev16.data());
   }
   static thread_local std::vector<uint32_t> head32, prev32;
   if (head32.empty()) head32.resize((size_t)1 << HLOG);
   if ((int64_t)prev32.size() < n) prev32.resize((size_t)n);
   std::memset(head32.data(), 0xFF, head32.size() * 4);
-  return lz77_host_impl<uint32_t>(src, n, toks, cap, chain,
-                                  head32.data(), prev32.data());
+  return lazy ? lz77_host_lazy_impl<uint32_t>(src, n, toks, cap, chain,
+                                              head32.data(), prev32.data())
+              : lz77_host_impl<uint32_t>(src, n, toks, cap, chain,
+                                         head32.data(), prev32.data());
 }

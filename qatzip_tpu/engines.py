@@ -76,6 +76,13 @@ class HostEngine:
         use_native_coder = (
             algorithm == "deflate" and _native.lib is not None
             and zlevel <= 5 and coder == "native")
+        # level ladder (measured, mixed corpus, per core): 1-3 greedy
+        # chain-4 (90 MB/s @ 3.369 — above zlib L1-L3); 4-5 greedy
+        # chain-16 (60 @ 3.460 vs zlib L4 55 @ 3.407). The lazy variant
+        # (negative chain, deflate_slow-style) measured 34 @ 3.473 at 16
+        # — only +0.4% ratio for half the speed, so greedy keeps the
+        # ladder; lazy-32 (26 @ 3.504) is the measured option should a
+        # future level want near-zlib-L6 ratio at 3x its speed.
         chain = 4 if zlevel <= 3 else 16
 
         def one(args):

@@ -86,3 +86,70 @@ def test_sw_coder_knob_routes_to_zlib():
     s2.setup_deflate()
     assert s2.decompress(out_z) == data
     assert s2.decompress(out_n) == data
+
+
+def test_lz77_host_fuzz_vs_zlib_decode():
+    """Randomized content sweep: every (content, size) cell must
+    round-trip through stock zlib's inflate — the independent decoder.
+    Exercises chunk-edge sizes (hash_end boundaries, sub-min_match
+    tails) and content that stresses each matcher path (RLE memset
+    copies, short-period doubling, skip acceleration, chain walks)."""
+    rng = np.random.default_rng(123)
+    sizes = [0, 1, 3, 4, 5, 7, 8, 100, 16383, 16384, 16385,
+             65533, 65534, 65535, 65536]
+    makers = [
+        lambda n: rng.integers(0, 256, n, dtype=np.uint8).tobytes(),
+        lambda n: (b"ab" * (n // 2 + 1))[:n],
+        lambda n: b"\xaa" * n,
+        lambda n: (b"the quick brown fox " * (n // 20 + 1))[:n],
+        lambda n: rng.choice(np.frombuffer(b"AC", np.uint8),
+                             max(n, 1)).tobytes()[:n],
+        lambda n: (rng.integers(0, 4, n // 2 + 1, dtype=np.uint8)
+                   .tobytes() * 2)[:n],
+    ]
+    for size in sizes:
+        for mi, mk in enumerate(makers):
+            data = mk(size)
+            assert len(data) == size
+            for chain in (4, 16):
+                toks = native.lib.lz77_host(data, chain=chain)
+                payload = native.lib.deflate_pack(data, toks, len(toks),
+                                                  final=True, mode=0)
+                got = zlib.decompressobj(-15).decompress(payload)
+                assert got == data, (size, mi, chain)
+
+
+def test_inflate_fuzz_random_mutations():
+    """Bit-flipped/truncated streams must never crash or over-read the
+    native inflate — rc -1 or a clean wrong-output, both caught by the
+    caller's crc verification (same contract as the reference's footer
+    checks)."""
+    rng = np.random.default_rng(77)
+    data = (b"fuzz corpus payload " * 2000)[:30000]
+    toks = native.lib.lz77_host(data, chain=4)
+    good = bytearray(native.lib.deflate_pack(data, toks, len(toks),
+                                             final=True, mode=0))
+    for trial in range(300):
+        bad = bytearray(good)
+        op = trial % 3
+        if op == 0 and len(bad) > 4:
+            bad[int(rng.integers(0, len(bad)))] ^= 1 << int(
+                rng.integers(0, 8))
+        elif op == 1:
+            bad = bad[: int(rng.integers(0, len(bad)))]
+        else:
+            bad += bytes(rng.integers(0, 256, 8, dtype=np.uint8))
+        out = native.lib.inflate_raw(bytes(bad), len(data))
+        # None (malformed) or bytes; wrong bytes are fine — no crash,
+        # no OOB (asan-less proxy: the call returns)
+        assert out is None or isinstance(out, bytes)
+
+
+@pytest.mark.parametrize("chain", [-4, -16])
+def test_lazy_matcher_roundtrip(chain):
+    """Lazy (deferred-match) variant: negative chain selects it."""
+    for name, data in _cases().items():
+        toks = native.lib.lz77_host(data, chain=chain)
+        payload = native.lib.deflate_pack(data, toks, len(toks),
+                                          final=True, mode=0)
+        assert zlib.decompressobj(-15).decompress(payload) == data, name
