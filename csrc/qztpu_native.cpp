@@ -1662,12 +1662,24 @@ int64_t qz_inflate_raw2(const uint8_t* src, int64_t n, uint8_t* dst,
       for (;;) {
         in.refill();
         uint32_t e = resolve_packed(*lt, in.bits);
-        // literal fast loop: one refill covers several <=15-bit codes
+        // literal fast loop: one refill GUARANTEES three <=15-bit codes
+        // (3x15 = 45 <= 56 buffered bits), so the per-literal nbits
+        // check disappears — refill only every third literal
         while (e & 0x20000000u) {
           if (op >= oend) goto done;
           in.drop(e & 31);
           *op++ = (uint8_t)(e >> 8);
-          if (in.nbits < 20) in.refill();
+          e = resolve_packed(*lt, in.bits);
+          if (!(e & 0x20000000u)) break;
+          if (op >= oend) goto done;
+          in.drop(e & 31);
+          *op++ = (uint8_t)(e >> 8);
+          e = resolve_packed(*lt, in.bits);
+          if (!(e & 0x20000000u)) break;
+          if (op >= oend) goto done;
+          in.drop(e & 31);
+          *op++ = (uint8_t)(e >> 8);
+          in.refill();
           e = resolve_packed(*lt, in.bits);
         }
         if (!e || in.overran()) goto done;
