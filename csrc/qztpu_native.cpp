@@ -1527,12 +1527,21 @@ static inline void copy_match(uint8_t* op, int64_t dist, int64_t len,
     return;
   }
   if (op + len + 16 <= out_end_cap) {
-    if (dist >= 16) {
+    if (dist >= 16 || dist >= len) {
+      // 16-byte stamps. dist >= len means the logical copy never
+      // overlaps even when dist < 16; staging through locals keeps each
+      // memcpy's argument ranges disjoint (no overlapping-memcpy UB),
+      // and stamps that read bytes an earlier stamp wrote (16 <= dist <
+      // len) see completed writes — the periodic-copy semantics.
       uint8_t* o = op;
       const uint8_t* s = src;
       int64_t k = len;
       do {
-        std::memcpy(o, s, 16);
+        uint64_t a0, a1;
+        std::memcpy(&a0, s, 8);
+        std::memcpy(&a1, s + 8, 8);
+        std::memcpy(o, &a0, 8);
+        std::memcpy(o + 8, &a1, 8);
         o += 16;
         s += 16;
         k -= 16;
