@@ -153,3 +153,25 @@ def test_lazy_matcher_roundtrip(chain):
         payload = native.lib.deflate_pack(data, toks, len(toks),
                                           final=True, mode=0)
         assert zlib.decompressobj(-15).decompress(payload) == data, name
+
+
+def test_sw_strided_ratio_vs_chunked_zlib():
+    """Strided-record corpus, apples to apples (both 64KB-chunked): the
+    native coder's payload bytes must stay within 2% of chunked zlib L1
+    (history resets dominate this corpus; whole-stream zlib is NOT the
+    baseline — reference members reset history the same way)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from ratiocheck import strided_corpus
+
+    blob = strided_corpus(2)
+    ours = 0
+    theirs = 0
+    for o in range(0, len(blob), 65536):
+        c = blob[o:o + 65536]
+        toks = native.lib.lz77_host(c, chain=4)
+        ours += len(native.lib.deflate_pack(c, toks, len(toks),
+                                            final=True, mode=0))
+        theirs += len(zlib.compress(c, 1)) - 11
+    assert ours <= theirs * 1.02
