@@ -159,7 +159,10 @@ class Runtime:
             self.initialized = True
             if not self.hw_available:
                 return QZ_NO_HW if sw_backup else QZ_NOSW_NO_HW
-            return QZ_OK if first else QZ_DUPLICATE
+            # reaching here means this call brought the device up (the
+            # already-up case returned QZ_DUPLICATE at the top) — a
+            # successful (re-)init is QZ_OK
+            return QZ_OK
 
     def _background_reprobe(self) -> None:
         """Throttled non-blocking re-probe from the engine hot path."""
