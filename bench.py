@@ -289,7 +289,13 @@ def _lz4_bench(corpus: bytes, iters: int):
         out = s.compress(corpus)
         best = min(best, time.perf_counter() - t0)
     assert s.decompress(out) == corpus
-    return len(corpus) / best / 1e9, len(corpus) / len(out)
+    dbest = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        s.decompress(out)
+        dbest = min(dbest, time.perf_counter() - t0)
+    return (len(corpus) / best / 1e9, len(corpus) / len(out),
+            len(corpus) / dbest / 1e9)
 
 
 def main():
@@ -398,7 +404,7 @@ def main():
     # product-path SW multicore e2e (host pool, all cores) + LZ4 e2e
     mc_gbps, mc_out = _multicore_sw_gbps(corpus, max(2, iters - 1))
     assert sess.decompress(mc_out) == corpus
-    lz4_gbps, lz4_ratio = _lz4_bench(corpus, max(2, iters - 1))
+    lz4_gbps, lz4_ratio, lz4_dec = _lz4_bench(corpus, max(2, iters - 1))
 
     # Headline: on a relay-limited dev tunnel the end-to-end number
     # measures the tunnel, not the engine — report the device pipeline
@@ -434,6 +440,7 @@ def main():
         "host_workers": os.cpu_count(),
         "lz4_compress_gbps": round(lz4_gbps, 4),
         "lz4_ratio": round(lz4_ratio, 4),
+        "lz4_decompress_gbps": round(lz4_dec, 4),
         "input_mb": n >> 20,
         "backend": rt_obj.platform or "sw",
         "engine": "tpu" if sess._engine is not None else "host",
@@ -478,7 +485,7 @@ def _fallback_sw_bench(reason: str):
     z_ratio = (16 << 20) / len(zout)
     mc_gbps, mc_out = _multicore_sw_gbps(corpus, max(2, iters - 1))
     assert sess.decompress(mc_out) == corpus
-    lz4_gbps, lz4_ratio = _lz4_bench(corpus, max(2, iters - 1))
+    lz4_gbps, lz4_ratio, lz4_dec = _lz4_bench(corpus, max(2, iters - 1))
     print(json.dumps({
         "metric": "silesia_gzip_l1_compress_throughput",
         "value": round(n / dt / 1e9, 4),
@@ -500,6 +507,7 @@ def _fallback_sw_bench(reason: str):
         "host_workers": os.cpu_count(),
         "lz4_compress_gbps": round(lz4_gbps, 4),
         "lz4_ratio": round(lz4_ratio, 4),
+        "lz4_decompress_gbps": round(lz4_dec, 4),
         "input_mb": n >> 20,
         "backend": "sw_fallback_after_device_error",
         "engine": "host",
@@ -545,7 +553,8 @@ def _supervise() -> int:
         "device_pack_gbps": None, "d2h_mbps": None, "relay_limited": None,
         "ratio": None, "zlib_l1_ratio": None, "ratio_vs_zlib_l1": None,
         "e2e_multicore_gbps": None, "host_workers": os.cpu_count(),
-        "lz4_compress_gbps": None, "lz4_ratio": None, "input_mb": 48,
+        "lz4_compress_gbps": None, "lz4_ratio": None,
+        "lz4_decompress_gbps": None, "input_mb": 48,
         "backend": "none", "engine": "none", "device_error": reason,
     }))
     return 1

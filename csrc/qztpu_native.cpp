@@ -303,7 +303,37 @@ int64_t qz_lz4_decompress_block(const uint8_t* src, int64_t n, uint8_t* dst,
     mlen += LZ4_MINMATCH;
     if (op + mlen > oend) return -1;
     const uint8_t* m = op - offset;
-    for (size_t k = 0; k < mlen; ++k) op[k] = m[k];  // overlap-safe
+    // wide overlap-safe copy (same tiers as the inflate's copy_match):
+    // RLE memset, 16-byte stamps for non-overlapping copies, seed-then-
+    // double for short periods; byte loop only near the buffer tail
+    if (offset == 1) {
+      std::memset(op, m[0], mlen);
+    } else if (op + mlen + 16 <= oend
+               && (offset >= 16 || (size_t)offset >= mlen)) {
+      uint8_t* o = op;
+      const uint8_t* s = m;
+      int64_t k = (int64_t)mlen;
+      do {
+        uint64_t a0, a1;
+        std::memcpy(&a0, s, 8);
+        std::memcpy(&a1, s + 8, 8);
+        std::memcpy(o, &a0, 8);
+        std::memcpy(o + 8, &a1, 8);
+        o += 16;
+        s += 16;
+        k -= 16;
+      } while (k > 0);
+    } else if (op + mlen + 16 <= oend) {
+      for (size_t k = 0; k < offset && k < mlen; ++k) op[k] = m[k];
+      size_t have = offset;
+      while (have < mlen) {
+        size_t c = mlen - have < have ? mlen - have : have;
+        std::memcpy(op + have, op, c);
+        have += c;
+      }
+    } else {
+      for (size_t k = 0; k < mlen; ++k) op[k] = m[k];
+    }
     op += mlen;
   }
   return (int64_t)(op - dst);
@@ -1888,6 +1918,46 @@ uint32_t qz_crc32_combine_many(const uint32_t* crcs, const int64_t* lens,
 // (doDecompressIn/Out, src/qatzip.c:2374-2797) generalized to N workers.
 // out_len[i] = decoded bytes, or -1 for a malformed member.
 // ---------------------------------------------------------------------------
+// Batched LZ4 block decode, native thread pool, GIL-free — the LZ4
+// mirror of qz_inflate_batch (the reference decodes LZ4 members on
+// silicon through the same submit/poll pair, src/qatzip.c:2374-2797).
+// in_len[i] < 0 marks a STORED block: copy |in_len| source bytes
+// verbatim (the frame's highest-bit-set block size case).
+void qz_lz4_decompress_batch(const uint8_t* src, const int64_t* in_off,
+                             const int64_t* in_len, uint8_t* dst,
+                             const int64_t* out_off, const int64_t* out_cap,
+                             int64_t* out_len, int32_t nblk,
+                             int32_t nthreads) {
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= nblk) return;
+      if (in_len[i] < 0) {
+        int64_t sz = -in_len[i];
+        if (sz > out_cap[i]) {
+          out_len[i] = -1;
+        } else {
+          std::memcpy(dst + out_off[i], src + in_off[i], (size_t)sz);
+          out_len[i] = sz;
+        }
+        continue;
+      }
+      out_len[i] = qz_lz4_decompress_block(src + in_off[i], in_len[i],
+                                           dst + out_off[i], out_cap[i]);
+    }
+  };
+  if (nthreads <= 1 || nblk <= 1) {
+    worker();
+    return;
+  }
+  int nt = nthreads < nblk ? nthreads : nblk;
+  std::thread threads[64];
+  if (nt > 64) nt = 64;
+  for (int t = 0; t < nt; ++t) threads[t] = std::thread(worker);
+  for (int t = 0; t < nt; ++t) threads[t].join();
+}
+
 void qz_inflate_batch(const uint8_t* src, const int64_t* in_off,
                       const int64_t* in_len, uint8_t* dst,
                       const int64_t* out_off, const int64_t* out_cap,

@@ -23,6 +23,84 @@ void qz_inflate_batch(const uint8_t* src, const int64_t* in_off,
                              const int64_t* out_off, const int64_t* out_cap,
                              int64_t* out_len, uint32_t* crcs, int32_t nmem,
                              int32_t nthreads, int64_t* in_used);
+#ifdef __cplusplus
+extern "C"
+#endif
+void qz_lz4_decompress_batch(const uint8_t* src, const int64_t* in_off,
+                             const int64_t* in_len, uint8_t* dst,
+                             const int64_t* out_off, const int64_t* out_cap,
+                             int64_t* out_len, int32_t nblk,
+                             int32_t nthreads);
+
+/* lz4_batch_bytes(data, in_offs, in_lens, out_caps, nthreads)
+ *   -> (out: bytes, out_lens: bytes(int64 LE))
+ * in_lens[i] < 0 marks a stored block of |in_lens[i]| verbatim bytes.
+ */
+static PyObject* lz4_batch_bytes(PyObject* self, PyObject* args) {
+  Py_buffer data, offs, lens, caps_b;
+  int nthreads = 0;
+  (void)self;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*i", &data, &offs, &lens, &caps_b,
+                        &nthreads))
+    return NULL;
+  PyObject* out = NULL;
+  PyObject* outlens = NULL;
+  int64_t* out_off = NULL;
+  if (offs.len != lens.len || offs.len != caps_b.len || offs.len % 8 != 0) {
+    PyErr_SetString(PyExc_ValueError, "offs/lens/caps length mismatch");
+    goto fail;
+  }
+  {
+    Py_ssize_t n = offs.len / 8;
+    const int64_t* in_off = (const int64_t*)offs.buf;
+    const int64_t* in_len = (const int64_t*)lens.buf;
+    const int64_t* cap = (const int64_t*)caps_b.buf;
+    int64_t total = 0;
+    out_off = (int64_t*)PyMem_Malloc((size_t)(n ? n : 1) * 8);
+    if (!out_off) goto fail;
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      out_off[i] = total;
+      int64_t il = in_len[i] < 0 ? -in_len[i] : in_len[i];
+      if (cap[i] < 0 || in_off[i] < 0 || in_off[i] + il > data.len) {
+        PyErr_SetString(PyExc_ValueError, "block out of range");
+        goto fail;
+      }
+      total += cap[i];
+    }
+    out = PyBytes_FromStringAndSize(NULL, total);
+    outlens = PyBytes_FromStringAndSize(NULL, n * 8);
+    if (!out || !outlens) goto fail;
+    if (n > 0) {
+      uint8_t* dst = (uint8_t*)PyBytes_AS_STRING(out);
+      int64_t* olen = (int64_t*)PyBytes_AS_STRING(outlens);
+      const uint8_t* src = (const uint8_t*)data.buf;
+      Py_BEGIN_ALLOW_THREADS;
+      qz_lz4_decompress_batch(src, in_off, in_len, dst, out_off, cap, olen,
+                              (int32_t)n, (int32_t)nthreads);
+      Py_END_ALLOW_THREADS;
+    }
+  }
+  PyMem_Free(out_off);
+  PyBuffer_Release(&data);
+  PyBuffer_Release(&offs);
+  PyBuffer_Release(&lens);
+  PyBuffer_Release(&caps_b);
+  {
+    PyObject* tup = PyTuple_Pack(2, out, outlens);
+    Py_XDECREF(out);
+    Py_XDECREF(outlens);
+    return tup;
+  }
+fail:
+  PyMem_Free(out_off);
+  PyBuffer_Release(&data);
+  PyBuffer_Release(&offs);
+  PyBuffer_Release(&lens);
+  PyBuffer_Release(&caps_b);
+  Py_XDECREF(out);
+  Py_XDECREF(outlens);
+  return NULL;
+}
 
 /* inflate_batch_bytes(data, in_offs, in_lens, out_sizes, nthreads)
  *   -> (out: bytes, out_lens: bytes(int64 LE), crcs: bytes(uint32 LE),
@@ -109,6 +187,8 @@ fail:
 static PyMethodDef Methods[] = {
     {"inflate_batch_bytes", inflate_batch_bytes, METH_VARARGS,
      "Batched raw-deflate member decode into one bytes object."},
+    {"lz4_batch_bytes", lz4_batch_bytes, METH_VARARGS,
+     "Batched LZ4 block decode into one bytes object."},
     {NULL, NULL, 0, NULL},
 };
 

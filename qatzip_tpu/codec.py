@@ -336,24 +336,46 @@ def _decompress_lz4(data: bytes, engine=None) -> Tuple[bytes, int, int]:
         return swc.sw_decompress_multi(data, DataFormat.LZ4, None)
     blocks, footer_off = walked
     max_block = 1 << (8 + 2 * max(4, (info.bd >> 4) & 7))
-    payloads, sizes, stored_chunks = [], [], {}
-    for i, (off, sz, stored) in enumerate(blocks):
-        if stored:
-            stored_chunks[i] = bytes(memoryview(data)[off:off + sz])
-        else:
-            payloads.append(bytes(memoryview(data)[off:off + sz]))
-            sizes.append(max_block)
-    eng = engine or host_engine
-    decoded = eng.decompress_chunks(payloads, sizes, algorithm="lz4")
-    pieces: List[bytes] = []
-    di = 0
-    for i in range(len(blocks)):
-        if i in stored_chunks:
-            pieces.append(stored_chunks[i])
-        else:
-            pieces.append(decoded[di])
-            di += 1
-    out = b"".join(pieces)
+    out = None
+    from . import native as _native
+    if (_native.lib is not None
+            and os.environ.get("QZTPU_DEVICE_DECODE", "0") != "1"):
+        # ONE GIL-free native call decodes every block straight into a
+        # contiguous buffer (stored blocks ride along as negative
+        # lengths) — per-block thread futures measured 4x slower than
+        # the decode itself at 64 KB granularity. A frame whose
+        # non-final blocks don't fill max_block would leave gaps, so
+        # that (foreign) shape falls back to the per-block pool path.
+        import numpy as _np
+        nb = len(blocks)
+        in_offs = _np.fromiter((b[0] for b in blocks), _np.int64, nb)
+        in_lens = _np.fromiter(
+            ((-b[1] if b[2] else b[1]) for b in blocks), _np.int64, nb)
+        caps = _np.full(nb, max_block, _np.int64)
+        buf, out_lens = _native.lib.lz4_batch_bytes(data, in_offs,
+                                                    in_lens, caps)
+        if ((out_lens >= 0).all()
+                and (out_lens[:-1] == max_block).all() if nb else True):
+            out = buf[: int(out_lens.sum())]
+    if out is None:
+        payloads, sizes, stored_chunks = [], [], {}
+        for i, (off, sz, stored) in enumerate(blocks):
+            if stored:
+                stored_chunks[i] = bytes(memoryview(data)[off:off + sz])
+            else:
+                payloads.append(bytes(memoryview(data)[off:off + sz]))
+                sizes.append(max_block)
+        eng = engine or host_engine
+        decoded = eng.decompress_chunks(payloads, sizes, algorithm="lz4")
+        pieces: List[bytes] = []
+        di = 0
+        for i in range(len(blocks)):
+            if i in stored_chunks:
+                pieces.append(stored_chunks[i])
+            else:
+                pieces.append(decoded[di])
+                di += 1
+        out = b"".join(pieces)
     consumed = footer_off + 4
     if info.has_content_checksum:
         (want,) = struct.unpack_from("<I", data, consumed)

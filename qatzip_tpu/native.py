@@ -183,6 +183,11 @@ class _NativeLib:
                                        _i64p, _i64p, _u32p,
                                        ctypes.c_int32, ctypes.c_int32,
                                        _i64p]
+        L.qz_lz4_decompress_batch.restype = None
+        L.qz_lz4_decompress_batch.argtypes = [_u8p, _i64p, _i64p, _u8p,
+                                              _i64p, _i64p, _i64p,
+                                              ctypes.c_int32,
+                                              ctypes.c_int32]
         L.qz_deflate_pack.restype = ctypes.c_int64
         L.qz_deflate_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                       ctypes.c_int64, _u8p, ctypes.c_int64,
@@ -305,6 +310,40 @@ class _NativeLib:
         arr, crcs, out_lens, in_used = self.inflate_batch(
             data, in_offs, in_lens, out_sizes, nthreads)
         return arr.tobytes(), crcs, out_lens, in_used
+
+    def lz4_batch_bytes(self, data, in_offs, in_lens, out_caps,
+                        nthreads: int = 0):
+        """Batched GIL-free LZ4 block decode into one bytes object
+        (in_lens[i] < 0 = stored block of |len| verbatim bytes). Returns
+        (out: bytes of sum(out_caps), out_lens: np.int64 — decoded size
+        per block, -1 on a malformed block). The LZ4 mirror of
+        inflate_batch_bytes."""
+        import os as _os
+        if nthreads <= 0:
+            nthreads = min(4 * (_os.cpu_count() or 4), 32)
+        offs = np.ascontiguousarray(in_offs, np.int64)
+        lens = np.ascontiguousarray(in_lens, np.int64)
+        caps = np.ascontiguousarray(out_caps, np.int64)
+        if pyext is not None and hasattr(pyext, "lz4_batch_bytes"):
+            out, lens_b = pyext.lz4_batch_bytes(data, offs, lens, caps,
+                                                nthreads)
+            return out, np.frombuffer(lens_b, np.int64)
+        n = len(offs)
+        sa = (np.frombuffer(data, np.uint8)
+              if not isinstance(data, np.ndarray) else data)
+        out_offs = np.zeros(n, np.int64)
+        np.cumsum(caps[:-1], out=out_offs[1:])
+        total = int(caps.sum())
+        dst = np.empty(max(total, 1), np.uint8)
+        out_lens = np.empty(n, np.int64)
+        self._lib.qz_lz4_decompress_batch(
+            self._as_u8p(sa) if len(sa) else self._as_u8p(
+                np.empty(1, np.uint8)),
+            offs.ctypes.data_as(_i64p), lens.ctypes.data_as(_i64p),
+            self._as_u8p(dst), out_offs.ctypes.data_as(_i64p),
+            caps.ctypes.data_as(_i64p), out_lens.ctypes.data_as(_i64p),
+            n, nthreads)
+        return dst[:total].tobytes(), out_lens
 
     def scan_gzipext(self, data):
         """Walk strict QZ-ext gzip members natively (the checkHeader

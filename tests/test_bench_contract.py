@@ -14,7 +14,7 @@ KEYS = {"metric", "value", "unit", "vs_baseline", "e2e_compress_gbps",
         "device_pipeline_gbps", "device_pipeline_sync_gbps",
         "device_pack_gbps", "d2h_mbps", "relay_limited", "ratio",
         "zlib_l1_ratio", "ratio_vs_zlib_l1", "e2e_multicore_gbps",
-        "host_workers", "lz4_compress_gbps", "lz4_ratio", "input_mb",
+        "host_workers", "lz4_compress_gbps", "lz4_ratio", "lz4_decompress_gbps", "input_mb",
         "backend", "engine", "device_error"}
 
 
