@@ -175,3 +175,41 @@ def test_sw_strided_ratio_vs_chunked_zlib():
                                             final=True, mode=0))
         theirs += len(zlib.compress(c, 1)) - 11
     assert ours <= theirs * 1.02
+
+
+def test_lz4_batch_mutation_fuzz():
+    """Mutated LZ4 frames must decode to an error or wrong bytes, never
+    crash or over-read (the native batch path's bounds checks)."""
+    import qatzip_tpu as qz
+    from qatzip_tpu.constants import QzError
+
+    rng = np.random.default_rng(31)
+    data = (b"lz4 fuzz corpus " * 8000)[:120000]
+    s = qz.QzSession()
+    s.setup_lz4()
+    frame = bytearray(s.compress(data))
+    for trial in range(200):
+        bad = bytearray(frame)
+        op = trial % 3
+        if op == 0:
+            bad[int(rng.integers(8, len(bad)))] ^= 1 << int(
+                rng.integers(0, 8))
+        elif op == 1:
+            bad = bad[: int(rng.integers(8, len(bad)))]
+        else:
+            bad += bytes(rng.integers(0, 256, 5, dtype=np.uint8))
+        try:
+            s.decompress(bytes(bad))
+        except (QzError, ValueError):
+            pass
+
+
+def test_lz4_concatenated_frames():
+    import qatzip_tpu as qz
+
+    rng = np.random.default_rng(32)
+    a = (b"first frame " * 5000)[:70000]
+    b = rng.integers(0, 256, 70000, dtype=np.uint8).tobytes()
+    s = qz.QzSession()
+    s.setup_lz4()
+    assert s.decompress(s.compress(a) + s.compress(b)) == a + b
