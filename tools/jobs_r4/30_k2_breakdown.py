@@ -11,7 +11,8 @@ rows, W = 2560, 8192            # the production window shape at 16MB
 rng = np.random.default_rng(0)
 key = jnp.asarray((rng.integers(0, 1 << 15, (rows, W), dtype=np.int64).astype(np.uint32) << 13)
                   | jax.lax.broadcasted_iota(jnp.uint32, (rows, W), 1))
-ctx = [jnp.asarray(rng.integers(0, 2**31, (rows, W), dtype=np.int64).astype(np.uint32)) for _ in range(4)]
+ctx = [jnp.asarray(rng.integers(0, 2**31, (rows, W), dtype=np.int64)
+                   .astype(np.uint32)) for _ in range(4)]
 
 @jax.jit
 def full(key, c0, c1, c2, c3):
