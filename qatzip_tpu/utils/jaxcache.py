@@ -6,6 +6,14 @@ hit a warm on-disk cache. jax 0.9 only honors ``jax.config.update`` (the
 JAX_COMPILATION_CACHE_DIR env var is ignored), and jax may already be
 imported by the image's sitecustomize — so this must run config updates,
 not env exports.
+
+Note: XLA:CPU logs a scary ``cpu_aot_loader.cc`` "machine type mismatch /
+SIGILL" error on EVERY persistent-cache load — the "unsupported features"
+are XLA's own injected tuning pseudo-flags (+prefer-no-scatter,
++prefer-no-gather), not real ISA bits; it reproduces with an entry
+compiled minutes earlier on the same host. Benign — do not re-chase it
+with per-host cache dirs (measured 2026-08-18: /tmp is fresh each round,
+entries never cross hosts).
 """
 
 from __future__ import annotations

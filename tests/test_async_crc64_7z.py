@@ -37,7 +37,9 @@ def test_async_compress_ordered_callbacks():
 
         for i, piece in enumerate(data):
             assert sess.compress(piece, cb, external=i) == AQZ_OK
-        assert done.wait(timeout=60)
+        # generous window: a cold XLA cache compiles the batched device
+        # graph inside the wait (~90-130s on a busy 4-core host)
+        assert done.wait(timeout=300)
         blob = b"".join(results[i][1] for i in range(len(data)))
         # multi-member gzip decodes through a plain session
         d = QzSession()
