@@ -163,65 +163,90 @@ def _time_pipe(fn, args, iters, depth: int = 2) -> float:
 
 def _engine_knobs(n: int):
     """The tokenizer knobs the engine actually runs at level 1 (the
-    benched mode) — keeps the bench measuring the product path."""
-    from qatzip_tpu.parallel.dispatch import _tok_speed
+    benched mode) — keeps the bench measuring the product path.
+    Returns (search_seg, search_overlap, compact_seg, ctx_words,
+    probes)."""
+    from qatzip_tpu.parallel.dispatch import _tok_knobs
 
-    return _tok_speed(1, n)
+    return _tok_knobs(1, n)
+
+
+def _scan_batches(corpus: bytes, b: int, n: int):
+    """(K, b, n) device batch in the engine's scan-group shape: the
+    production dispatch chains full tiles in one lax.scan dispatch
+    (dispatch.SCAN_TILES), so the bench measures that graph. For the
+    48 MB corpus this is K=3 tiles of 256x64K."""
+    import jax
+    from qatzip_tpu.parallel.dispatch import SCAN_TILES
+
+    k = max(1, min(max(SCAN_TILES, 1), len(corpus) // (b * n)))
+    data = np.zeros((k, b, n), np.uint8)
+    view = memoryview(corpus)
+    for g in range(k):
+        base = g * b * n
+        for i in range(b):
+            data[g, i] = np.frombuffer(
+                view[base + i * n: base + (i + 1) * n], np.uint8)
+    lengths = np.full((k, b), n, np.int32)
+    return jax.device_put(data), jax.device_put(lengths), k
 
 
 def _device_pipeline_gbps(corpus: bytes, iters: int, b: int = 256):
     """Throughput of the on-device tokenize pipeline alone (the TPU engine
     rate — the analog of the reference's QAT engine Gbps, which its perf
-    harness measures over in-memory buffers, test/main.c -m 4).
+    harness measures over in-memory buffers, test/main.c -m 4). Measures
+    the engine's scan-grouped dispatch (K tiles per dispatch, the deeper
+    submission ring) exactly as dispatch._tokenize_tiles runs it.
 
     Returns (pipelined_gbps, sync_gbps)."""
     import functools
 
     import jax
     import jax.numpy as jnp
-    from qatzip_tpu.ops.lz77 import lz77_tokenize
+    from qatzip_tpu.ops.lz77 import lz77_tokenize_scan
 
     n = 65536
-    ss, ov, cs = _engine_knobs(n)
-    dd, ll = _device_batch(corpus, b, n)
+    ss, ov, cs, ctx, probes = _engine_knobs(n)
+    dk, lk, k = _scan_batches(corpus, b, n)
 
-    @functools.partial(jax.jit, static_argnames=("n", "ctx"))
-    def tok_step(data, lengths, n, ctx):
-        toks, ntok = lz77_tokenize(data, lengths, n=n, ctx_words=ctx,
-                                   search_seg=ss, search_overlap=ov,
-                                   compact_seg=cs)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def tok_step(data, lengths, n):
+        toks, ntok = lz77_tokenize_scan(data, lengths, n=n, ctx_words=ctx,
+                                        probes=probes, search_seg=ss,
+                                        search_overlap=ov, compact_seg=cs)
         return (jnp.sum(toks.astype(jnp.uint32))
                 + jnp.sum(ntok).astype(jnp.uint32))
 
-    args = (dd, ll)
-    best = _time_pipe(lambda d, l: tok_step(d, l, n, 4), args, iters + 3)
-    sync = _time_step(lambda d, l: tok_step(d, l, n, 4), args, iters)
-    return b * n / best / 1e9, b * n / sync / 1e9
+    args = (dk, lk)
+    best = _time_pipe(lambda d, l: tok_step(d, l, n), args, iters + 3)
+    sync = _time_step(lambda d, l: tok_step(d, l, n), args, iters)
+    return k * b * n / best / 1e9, k * b * n / sync / 1e9
 
 
 def _device_pack_gbps(corpus: bytes, iters: int, b: int = 256) -> float:
     """Throughput of the FULL on-device pipeline to final compressed words
     (tokenize + static-Huffman bit-pack, ops/deflate_pack.py) — d2h would
     carry compressed bytes, the QAT single-call-compress analog.
-    Pipelined (depth-2 in flight), like the engine's eager tile loop."""
+    Scan-grouped + pipelined, like the engine's production dispatch."""
     import functools
 
     import jax
     import jax.numpy as jnp
-    from qatzip_tpu.ops.deflate_pack import deflate_pack_device
+    from qatzip_tpu.ops.deflate_pack import deflate_pack_scan
 
     n = 65536
-    ss, ov, _cs = _engine_knobs(n)
-    dd, ll = _device_batch(corpus, b, n)
+    ss, ov, _cs, ctx, probes = _engine_knobs(n)
+    dk, lk, k = _scan_batches(corpus, b, n)
 
-    @functools.partial(jax.jit, static_argnames=("n", "ctx"))
-    def pack_step(data, lengths, n, ctx):
-        words, nbits = deflate_pack_device(data, lengths, n=n, ctx_words=ctx,
-                                           search_seg=ss, search_overlap=ov)
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def pack_step(data, lengths, n):
+        words, nbits = deflate_pack_scan(data, lengths, n=n, ctx_words=ctx,
+                                         probes=probes, search_seg=ss,
+                                         search_overlap=ov)
         return jnp.sum(words) + jnp.sum(nbits).astype(jnp.uint32)
 
-    best = _time_pipe(lambda d, l: pack_step(d, l, n, 4), (dd, ll), iters + 3)
-    return b * n / best / 1e9
+    best = _time_pipe(lambda d, l: pack_step(d, l, n), (dk, lk), iters + 3)
+    return k * b * n / best / 1e9
 
 
 def _bring_up_device():

@@ -204,6 +204,40 @@ def deflate_pack_device(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                                 search_overlap=search_overlap, pallas=pallas)
 
 
+def deflate_pack_scan(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
+                      parse_seg: int = 8192, ctx_words: int = 4,
+                      probes: int = 6, search_seg: int = 0,
+                      search_overlap: int = 1024, pallas: str = None,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """K tiles of the static device pack in ONE dispatch via lax.scan —
+    data (K, B, n), lengths (K, B); stacked outputs of
+    :func:`deflate_pack_device`. Same deeper-submission-ring rationale
+    as ops/lz77.lz77_tokenize_scan."""
+    if pallas is None:
+        pallas = _pallas_mode()
+    return _deflate_pack_scan(data, lengths, n=n, parse_seg=parse_seg,
+                              ctx_words=ctx_words, probes=probes,
+                              search_seg=search_seg,
+                              search_overlap=search_overlap, pallas=pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "parse_seg", "ctx_words",
+                                             "probes", "search_seg",
+                                             "search_overlap", "pallas"))
+def _deflate_pack_scan(data, lengths, *, n, parse_seg, ctx_words, probes,
+                       search_seg, search_overlap, pallas):
+    def body(carry, xs):
+        d, l = xs
+        words, nbits = _deflate_pack_device(
+            d, l, n=n, parse_seg=parse_seg, ctx_words=ctx_words,
+            probes=probes, max_words=0, search_seg=search_seg,
+            search_overlap=search_overlap, pallas=pallas)
+        return carry, (words, nbits)
+
+    _, (words, nbits) = jax.lax.scan(body, jnp.int32(0), (data, lengths))
+    return words, nbits
+
+
 @functools.partial(jax.jit, static_argnames=("n", "parse_seg", "ctx_words",
                                              "probes", "max_words",
                                              "search_seg",

@@ -269,9 +269,18 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     h_s = key_s >> pbits
     sb, sn = key_s.shape
 
+    # packed probe accumulator: (ml << dbits) | (dmask - (dist-1)) — the
+    # INVERTED distance makes "longest match, nearest on ties" a single
+    # jnp.maximum per probe (larger ml wins; equal ml -> larger inverted
+    # field = smaller dist = nearest predecessor, since bucket
+    # predecessors at growing delta have strictly growing dist)
+    dbits = pbits if segmented else 15
+    dmask = np.uint32((1 << dbits) - 1)
+
     def cand_at(delta):
         """Match (len, dist) against the delta-th predecessor in the same
-        hash bucket — pure shifts over the sorted operands."""
+        hash bucket — pure shifts over the sorted operands. Returns the
+        packed (ml, inverted-dist) candidate word (0 = no candidate)."""
         zpad = jnp.zeros((sb, delta), jnp.uint32)
         same = jnp.concatenate(
             [jnp.zeros((sb, delta), bool),
@@ -284,26 +293,32 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
             prev = jnp.concatenate([zpad, ctx_s[k][:, :-delta]], axis=1)
             x = ctx_s[k] ^ prev
             full = (x == 0) & alive
-            partial = jnp.where(
-                alive & ~full,
-                ((x & 0xFF) == 0).astype(jnp.int32)
-                + ((x & 0xFFFF) == 0).astype(jnp.int32)
-                + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
-                0)
-            ml = ml + jnp.where(full, 4, partial)
+            if k == 0:
+                # a sub-4-byte prefix of word 0 can never reach
+                # min_match (>= 4) — skip the dead partial compare
+                ml = jnp.where(full, 4, 0)
+            else:
+                partial = jnp.where(
+                    alive & ~full,
+                    ((x & 0xFF) == 0).astype(jnp.int32)
+                    + ((x & 0xFFFF) == 0).astype(jnp.int32)
+                    + ((x & 0xFFFFFF) == 0).astype(jnp.int32),
+                    0)
+                ml = ml + jnp.where(full, 4, partial)
             alive = full
         ok = same & (dist >= 1) & (dist <= window) & (ml >= min_match)
-        return jnp.where(ok, ml, 0), jnp.where(ok, dist, 1)
+        pk = ((ml.astype(jnp.uint32) << dbits)
+              | (dmask - (dist - 1).astype(jnp.uint32)))
+        return jnp.where(ok, pk, jnp.uint32(0))
 
     # probe the `probes` most recent same-hash predecessors (a deeper
     # chain than zlib L1's max_chain≈4 — each probe is just shifts in the
     # sorted domain); keep the longest match, nearest on ties
-    ml_s, dist_s = cand_at(1)
+    cand = cand_at(1)
     for delta in range(2, probes + 1):
-        mld, distd = cand_at(delta)
-        better = mld > ml_s
-        ml_s = jnp.where(better, mld, ml_s)
-        dist_s = jnp.where(better, distd, dist_s)
+        cand = jnp.maximum(cand, cand_at(delta))
+    # dist-1 = dmask - inv = dmask ^ inv (inv <= dmask); no-candidate
+    # positions carry ml 0 (discarded by every consumer) and a junk dist
 
     # --- un-sort by position (a permutation → exact) ----------------------
     # segmented windows (pbits <= 13, ml <= ctx_bytes <= 31, dist < W):
@@ -312,10 +327,10 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     # (pos << (pbits+5)) | (ml << pbits) | (dist-1) — each extra lax.sort
     # operand costs ~2-4 ms per 16 MB batch on v5e (tools/devsweep.py)
     if segmented and 2 * pbits + 5 <= 31 and ctx_bytes <= 31:
+        # cand ^ dmask un-inverts the distance field in place, yielding
+        # (ml << pbits) | (dist-1) without extract/repack
         packed_p = jax.lax.sort(
-            (pos_s.astype(jnp.uint32) << (pbits + 5))
-            | (ml_s.astype(jnp.uint32) << pbits)
-            | (dist_s - 1).astype(jnp.uint32),
+            (pos_s.astype(jnp.uint32) << (pbits + 5)) | (cand ^ dmask),
             is_stable=False)                      # pos in top bits: unique
         # each window owns relpos in [ov, W); windows at stride own tile
         # the row (the last window may own a partial tail — trim to n)
@@ -329,10 +344,10 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
                              min_match, max_match, ctx_bytes, parse_seg,
                              lz4_rules)
     # full-row search: pack (ml, dist-1) into one carried operand (ml
-    # <=15 bits even for LZ4's cap, dist-1 <=15 bits for the 32K window)
-    packed = (ml_s.astype(jnp.uint32) << 15) | (dist_s - 1).astype(jnp.uint32)
+    # <=15 bits even for LZ4's cap, dist-1 <=15 bits for the 32K window);
+    # cand ^ dmask un-inverts the distance field in place
     _, packed_p = jax.lax.sort(
-        (pos_s.astype(jnp.uint32), packed), dimension=1, num_keys=1,
+        (pos_s.astype(jnp.uint32), cand ^ dmask), dimension=1, num_keys=1,
         is_stable=False)                          # positions unique
     if segmented:
         packed_p = packed_p.reshape(b, nwin, W)[:, :, ov:]
@@ -382,8 +397,9 @@ def _analyze_stride2(data, lengths, iota, h, ctx, b, n, *, min_match,
     W=8K default) — losing every odd-distance repeat is fatal on text,
     and no cheap supplement recovers DISTANT odd matches. Kept (with a
     round-trip test) as the priced data point the next search-cost idea
-    must beat; the open sort-pair lever is the k2 VMEM kernel with row
-    blocking, not candidate thinning.
+    must beat; the lever that DID land is carried-operand reduction
+    (ctx3+probes7, packed probe accumulator, ov 896 — docs/ROADMAP.md
+    round 4), not candidate thinning.
 
     What the half lattice loses and how it's recovered:
       * matches at odd positions — recovered by derivation: expanding the
@@ -691,6 +707,57 @@ def _lz77_tokenize(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
                                  is_stable=False)  # iota unique per row
         ntok = jnp.sum(emit, axis=1).astype(jnp.int32)
     return tokens, ntok
+
+
+def lz77_tokenize_scan(data: jnp.ndarray, lengths: jnp.ndarray, *, n: int,
+                       min_match: int = 4, max_match: int = 258,
+                       window: int = 32768, parse_seg: int = 8192,
+                       ctx_words: int = CTX_WORDS, probes: int = 6,
+                       search_seg: int = 0, search_overlap: int = 1024,
+                       compact_seg: int = 0, pallas: str = None,
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tokenize K chunk tiles in ONE device dispatch via ``lax.scan``.
+
+    ``data`` is (K, B, n) and ``lengths`` (K, B); returns stacked
+    (K, ...) outputs of :func:`lz77_tokenize`. The scan body reuses one
+    tile's buffers, so the live set stays a single tile while the
+    per-dispatch driver/relay overhead amortizes K-fold — the deeper
+    submission ring of the reference (NUM_BUFF=32 requests in flight per
+    instance, qatzip_internal.h:63-68) expressed as a compiler loop.
+    Measured on the v5e relay: ~6 ms/16 MB of dispatch overhead at
+    depth-2 pipelining drops to ~1.5 ms at K=4 (devserver probe 51/54).
+    """
+    if pallas is None:
+        from .deflate_pack import _pallas_mode
+        pallas = _pallas_mode()
+    return _lz77_tokenize_scan(data, lengths, n=n, min_match=min_match,
+                               max_match=max_match, window=window,
+                               parse_seg=parse_seg, ctx_words=ctx_words,
+                               probes=probes, search_seg=search_seg,
+                               search_overlap=search_overlap,
+                               compact_seg=compact_seg, pallas=pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "min_match", "max_match",
+                                             "window", "parse_seg",
+                                             "ctx_words", "probes",
+                                             "search_seg", "search_overlap",
+                                             "compact_seg", "pallas"))
+def _lz77_tokenize_scan(data, lengths, *, n, min_match, max_match, window,
+                        parse_seg, ctx_words, probes, search_seg,
+                        search_overlap, compact_seg, pallas):
+    def body(carry, xs):
+        d, l = xs
+        toks, ntok = _lz77_tokenize(
+            d, l, n=n, min_match=min_match, max_match=max_match,
+            window=window, parse_seg=parse_seg, ctx_words=ctx_words,
+            probes=probes, search_seg=search_seg,
+            search_overlap=search_overlap, search_stride=1,
+            compact_seg=compact_seg, pallas=pallas)
+        return carry, (toks, ntok)
+
+    _, (toks, ntok) = jax.lax.scan(body, jnp.int32(0), (data, lengths))
+    return toks, ntok
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,15 @@ from ..utils.debug import qz_log
 # (measured on the v5e relay: 108 -> 125 MB/s tokenize, tools/devsweep.py)
 TILE_B = int(os.environ.get("QZTPU_TILE_B", "256"))
 
+# full tiles chained per device dispatch via lax.scan — the deeper
+# submission ring (reference: NUM_BUFF=32 requests in flight per
+# instance, qatzip_internal.h:63-68). One dispatch covers K tiles while
+# the scan body reuses a single tile's buffers, so per-dispatch overhead
+# (~6 ms/16 MB at depth-2 pipelining on the v5e relay) amortizes K-fold
+# with no extra HBM pressure (contrast QZTPU_TILE_B=512: superlinear
+# WORSE, docs/ROADMAP.md). 1 disables grouping.
+SCAN_TILES = int(os.environ.get("QZTPU_SCAN_TILES", "4"))
+
 
 def _bucket(b: int) -> int:
     p = 1
@@ -125,31 +134,53 @@ def relay_limited() -> bool:
     return _RELAY_LIMITED
 
 
-def _tok_speed(level: int, n: int):
-    """Per-level tokenizer speed knobs (search_seg, search_overlap,
-    compact_seg).
+def _tok_knobs(level: int, n: int):
+    """Per-level tokenizer knobs: (search_seg, search_overlap,
+    compact_seg, ctx_words, probes).
 
-    Levels <= 5 window the candidate search (8K windows, 1K overlap):
-    ~45% faster device pipeline for ~4.6% ratio on the mixed corpus
-    (strided corpora unchanged — tools/ratiocheck.py sweep); levels >= 6
-    keep the full 32K-reach search, like the reference maps its levels
-    onto one hardware search and leaves ratio to the request path
+    Levels <= 5 window the candidate search (8K windows, 896 overlap —
+    896 is the largest overlap that still tiles a 64K row in NINE 8K
+    windows instead of ten, so it searches 10% fewer elements than
+    ov=1024 at measurably identical ratio) and carry 12 bytes of sort
+    context with 7 probes instead of 16 bytes with 6: the candidate
+    sort's cost is dominated by carried-operand bytes (devserver probes
+    52-57: the 5-operand sort is ~20 ms of the 16 MB batch vs ~7 ms for
+    1 operand), and ctx3+probes7 prices at -0.03% ratio vs ctx4+probes6
+    on the mixed corpus (tools/ratiocheck.py: 1.0649 vs 1.0652x zlib L1;
+    strided corpus unchanged at 1.036x). Levels >= 6 keep the full
+    32K-reach search with 16-byte context, like the reference maps its
+    levels onto one hardware search and leaves ratio to the request path
     (README.md:109-114). Compaction segmentation never changes the token
     stream (tests/test_lz77_tpu.py) and is always on for 64K rows.
-    Env overrides: QZTPU_SEARCH_SEG / QZTPU_SEARCH_OV / QZTPU_COMPACT_SEG.
+    Env overrides: QZTPU_SEARCH_SEG / QZTPU_SEARCH_OV / QZTPU_COMPACT_SEG
+    / QZTPU_CTX_WORDS / QZTPU_PROBES.
     """
+    fast = level <= 5
     ss = int(os.environ.get("QZTPU_SEARCH_SEG", "-1"))
-    ov = int(os.environ.get("QZTPU_SEARCH_OV", "1024"))
+    ov = int(os.environ.get("QZTPU_SEARCH_OV", "-1"))
     cs = int(os.environ.get("QZTPU_COMPACT_SEG", "-1"))
+    ctx = int(os.environ.get("QZTPU_CTX_WORDS", "-1"))
+    probes = int(os.environ.get("QZTPU_PROBES", "-1"))
     if ss < 0:
-        ss = 8192 if level <= 5 else 0
+        ss = 8192 if fast else 0
+    if ov < 0:
+        ov = 896 if fast else 1024
     if cs < 0:
-        cs = 1024
+        cs = 512
+    if ctx < 0:
+        ctx = 3 if fast and ss else 4
+    if probes < 0:
+        probes = 7 if fast and ss else 6
     if ss >= n:
         ss = 0
     if cs >= n:
         cs = 0
-    return ss, ov, cs
+    return ss, ov, cs, ctx, probes
+
+
+def _tok_speed(level: int, n: int):
+    """Back-compat 3-tuple view of :func:`_tok_knobs`."""
+    return _tok_knobs(level, n)[:3]
 
 
 class TpuEngine:
@@ -199,11 +230,13 @@ class TpuEngine:
         counts, stitched by merge_segment_tokens in the pack stage.
         """
         import jax.numpy as jnp
-        from ..ops.lz77 import lz77_tokenize
+        from ..ops.lz77 import lz77_tokenize, lz77_tokenize_scan
 
         params = self._tok_params(algorithm)
         seg = min(8192, n)
-        ss, ov, cs = _tok_speed(level, n)
+        ss, ov, cs, ctx, probes = _tok_knobs(level, n)
+        kw = dict(parse_seg=seg, search_seg=ss, search_overlap=ov,
+                  compact_seg=cs, ctx_words=ctx, probes=probes, **params)
         ndev = len(self.devices)
         mesh = None
         if ndev > 1:
@@ -211,8 +244,29 @@ class TpuEngine:
             # (chunk-DP — the instance-pool shuffle analog)
             from .mesh import make_mesh
             mesh = make_mesh(self.devices)
+        starts = list(range(0, len(chunks), TILE_B))
         pending = []
-        for start in range(0, len(chunks), TILE_B):
+        i = 0
+        while i < len(starts):
+            start = starts[i]
+            # scan-group consecutive FULL tiles (single device only):
+            # one dispatch covers up to SCAN_TILES tiles (see SCAN_TILES)
+            if (mesh is None and not self._device_crc and SCAN_TILES > 1
+                    and len(chunks) - start >= 2 * TILE_B):
+                grp = []
+                while (len(grp) < SCAN_TILES and i + len(grp) < len(starts)
+                       and len(chunks) - starts[i + len(grp)] >= TILE_B):
+                    grp.append(starts[i + len(grp)])
+                datas = np.zeros((len(grp), TILE_B, n), np.uint8)
+                lens = np.zeros((len(grp), TILE_B), np.int32)
+                for g, s in enumerate(grp):
+                    datas[g], lens[g] = _stage_tile(
+                        chunks[s:s + TILE_B], TILE_B, n)
+                toks, ntok = lz77_tokenize_scan(
+                    jnp.asarray(datas), jnp.asarray(lens), n=n, **kw)
+                pending.append(("grp", grp, toks, ntok))
+                i += len(grp)
+                continue
             tile = chunks[start:start + TILE_B]
             b = _bucket(len(tile))
             if mesh is not None and b % ndev:
@@ -223,32 +277,34 @@ class TpuEngine:
             # qzMemFindAddr decision), so recycling it after dispatch
             # would corrupt in-flight device input. Pooled reuse lives in
             # the per-chunk pack staging (native.py) and stream staging.
-            data = np.zeros((b, n), np.uint8)
-            lengths = np.zeros(b, np.int32)
-            for i, c in enumerate(tile):
-                a = np.frombuffer(c, np.uint8)
-                data[i, :len(a)] = a
-                lengths[i] = len(a)
+            data, lengths = _stage_tile(tile, b, n)
+            i += 1
             if mesh is not None:
                 from .mesh import mesh_tokenize
                 toks, ntok, _stats = mesh_tokenize(
                     mesh, data, lengths, n=n, search_seg=ss,
-                    search_overlap=ov, **params)
+                    search_overlap=ov, ctx_words=ctx, probes=probes,
+                    **params)
                 dcrc = None
-                pending.append((start, len(tile), toks, ntok, dcrc,
+                pending.append(("one", start, len(tile), toks, ntok, dcrc,
                                 lengths))
                 continue
             darr = jnp.asarray(data)
             toks, ntok = lz77_tokenize(darr, jnp.asarray(lengths), n=n,
-                                       parse_seg=seg, search_seg=ss,
-                                       search_overlap=ov, compact_seg=cs,
-                                       **params)
+                                       **kw)
             dcrc = None
             if self._device_crc:
                 from ..ops.crc32_mxu import crc32_batch_device
                 dcrc = crc32_batch_device(darr, n=n)
-            pending.append((start, len(tile), toks, ntok, dcrc, lengths))
-        for start, nt, toks, ntok, dcrc, lens_np in pending:
+            pending.append(("one", start, len(tile), toks, ntok, dcrc,
+                            lengths))
+        for item in pending:
+            if item[0] == "grp":
+                _tag, grp, toks_k, ntok_k = item
+                yield from self._fetch_group(grp, toks_k, ntok_k,
+                                             len(chunks), n)
+                continue
+            _tag, start, nt, toks, ntok, dcrc, lens_np = item
             crcs = [None] * nt
             if dcrc is not None:
                 dcrc_np = np.asarray(dcrc)
@@ -275,6 +331,34 @@ class TpuEngine:
             kmax = int(ntok_np.max()) if nt else 0
             k = _fetch_bucket(kmax, n)
             yield start, nt, np.asarray(toks[:, :k]), ntok_np, crcs
+
+    def _fetch_group(self, grp, toks_k, ntok_k, nchunks: int, n: int):
+        """Bucketed d2h fetch for a scan group: ntok first (tiny), then
+        one token-prefix slice covering all K tiles (same slice-program
+        caching rationale as the single-tile fetch)."""
+        ntok_np = np.asarray(ntok_k)          # (K, b) or (K, b, ncs)
+        nk = ntok_np.shape[0]
+        if ntok_np.ndim == 3 and ntok_np.shape[2] > 1:
+            _k, b_, ncs = ntok_np.shape
+            cseg = n // ncs
+            kmax = int(ntok_np.max()) if ntok_np.size else 0
+            kb = _fetch_bucket(kmax, cseg)
+            if kb * ncs >= n:
+                toks_np = np.asarray(toks_k).reshape(nk, b_, ncs, cseg)
+            else:
+                toks_np = np.asarray(
+                    toks_k.reshape(nk, b_, ncs, cseg)[:, :, :, :kb])
+            for g, s in enumerate(grp):
+                nt = min(TILE_B, nchunks - s)
+                yield s, nt, toks_np[g], ntok_np[g], [None] * nt
+            return
+        ntok_np = ntok_np.reshape(nk, -1)
+        kmax = int(ntok_np.max()) if ntok_np.size else 0
+        kb = _fetch_bucket(kmax, n)
+        toks_np = np.asarray(toks_k[:, :, :kb])
+        for g, s in enumerate(grp):
+            nt = min(TILE_B, nchunks - s)
+            yield s, nt, toks_np[g], ntok_np[g], [None] * nt
 
     # -- public engine interface ----------------------------------------------
     def compress_chunks(self, chunks: Sequence[bytes], *, level: int,
@@ -389,7 +473,8 @@ class TpuEngine:
         chunk: header/EOB OR-in, BFINAL flip / full-flush sync,
         stored-block guard on expansion, crc32."""
         import jax.numpy as jnp
-        from ..ops.deflate_pack import (deflate_pack_device, finish_stream,
+        from ..ops.deflate_pack import (deflate_pack_device,
+                                        deflate_pack_scan, finish_stream,
                                         deflate_analyze_hist,
                                         deflate_pack_dynamic,
                                         finish_stream_dynamic)
@@ -399,7 +484,9 @@ class TpuEngine:
         # host engine at the top when it is absent)
         dynamic = not huffman_static
         n = _pow2_chunk_n(chunks)
-        ss, ov, _cs = _tok_speed(level, n)
+        ss, ov, _cs, ctx, probes = _tok_knobs(level, n)
+        pkw = dict(search_seg=ss, search_overlap=ov, ctx_words=ctx,
+                   probes=probes)
 
         ndev = len(self.devices)
         mesh = None
@@ -407,18 +494,42 @@ class TpuEngine:
             from .mesh import make_mesh
             mesh = make_mesh(self.devices)
 
+        starts = list(range(0, len(chunks), TILE_B))
         pending = []
-        for start in range(0, len(chunks), TILE_B):
+        i = 0
+        while i < len(starts):
+            start = starts[i]
+            # static path, single device: scan-group full tiles (see
+            # SCAN_TILES — one dispatch covers K tiles)
+            if (not dynamic and mesh is None and SCAN_TILES > 1
+                    and len(chunks) - start >= 2 * TILE_B):
+                grp = []
+                while (len(grp) < SCAN_TILES and i + len(grp) < len(starts)
+                       and len(chunks) - starts[i + len(grp)] >= TILE_B):
+                    grp.append(starts[i + len(grp)])
+                datas = np.zeros((len(grp), TILE_B, n), np.uint8)
+                lens = np.zeros((len(grp), TILE_B), np.int32)
+                for g, s in enumerate(grp):
+                    datas[g], lens[g] = _stage_tile(
+                        chunks[s:s + TILE_B], TILE_B, n)
+                words, nbits = deflate_pack_scan(
+                    jnp.asarray(datas), jnp.asarray(lens), n=n, **pkw)
+                pending.append(("grp", grp, words, nbits))
+                i += len(grp)
+                continue
             tile = chunks[start:start + TILE_B]
             b = _bucket(len(tile))
             if mesh is not None and b % ndev:
                 b = ((b + ndev - 1) // ndev) * ndev  # divisible batch
             data, lengths = _stage_tile(tile, b, n)
+            i += 1
             if mesh is not None and not dynamic:
                 from .mesh import mesh_pack_device
                 words, nbits = mesh_pack_device(mesh, data, lengths, n=n,
                                                 search_seg=ss,
-                                                search_overlap=ov)
+                                                search_overlap=ov,
+                                                ctx_words=ctx,
+                                                probes=probes)
                 pending.append((start, len(tile), words, nbits, None, None))
                 continue
             if dynamic:
@@ -430,28 +541,28 @@ class TpuEngine:
                     from .mesh import mesh_analyze_hist
                     hist, ml, dist, taken, lit = mesh_analyze_hist(
                         mesh, data, lengths, n=n, search_seg=ss,
-                        search_overlap=ov)
+                        search_overlap=ov, ctx_words=ctx, probes=probes)
                     dd = data          # pass 2 reshards the numpy batch
                 else:
                     dd, ll = jnp.asarray(data), jnp.asarray(lengths)
                     hist, ml, dist, taken, lit = deflate_analyze_hist(
-                        dd, ll, n=n, search_seg=ss, search_overlap=ov)
+                        dd, ll, n=n, **pkw)
                 pending.append((start, len(tile), "dyn1",
                                 (dd, hist, ml, dist, taken, lit)))
-                ready = [i for i, it in enumerate(pending)
-                         if len(it) == 4 and it[2] == "dyn1"]
+                ready = [j for j, it in enumerate(pending)
+                         if len(it) == 4 and isinstance(it[2], str)
+                         and it[2] == "dyn1"]
                 if len(ready) > 1:
                     self._dyn_pass2(pending, ready[0], n, mesh)
             else:
                 dd, ll = jnp.asarray(data), jnp.asarray(lengths)
-                words, nbits = deflate_pack_device(dd, ll, n=n,
-                                                   search_seg=ss,
-                                                   search_overlap=ov)
+                words, nbits = deflate_pack_device(dd, ll, n=n, **pkw)
                 pending.append((start, len(tile), words, nbits, None, None))
 
         # drain the remaining dynamic pass-1 tiles
         for idx, item in enumerate(pending):
-            if len(item) == 4 and item[2] == "dyn1":
+            if (len(item) == 4 and isinstance(item[2], str)
+                    and item[2] == "dyn1"):
                 self._dyn_pass2(pending, idx, n, mesh)
 
         results: List[Optional[Tuple[bytes, int]]] = [None] * len(chunks)
@@ -485,7 +596,23 @@ class TpuEngine:
             return gi, payload, zlib.crc32(chunk) & 0xFFFFFFFF
 
         futures = []
-        for start, nt, words, nbits, hdrs, packs in pending:
+        for item in pending:
+            if item[0] == "grp":
+                # scan group: one bucketed d2h slice covers all K tiles
+                _tag, grp, words_k, nbits_k = item
+                nbits_np = np.asarray(nbits_k)           # (K, B)
+                maxw = int(nbits_np.max() + 15 + 31) // 32 + 1 \
+                    if nbits_np.size else 1
+                k = _fetch_bucket(maxw, words_k.shape[2])
+                words_np = np.asarray(words_k[:, :, :k])
+                for g, s in enumerate(grp):
+                    nt = min(TILE_B, len(chunks) - s)
+                    for t in range(nt):
+                        futures.append(pool.submit(
+                            finish_one, (s + t, words_np[g][t],
+                                         int(nbits_np[g][t]), None, 0)))
+                continue
+            start, nt, words, nbits, hdrs, packs = item
             nbits_np = np.asarray(nbits)
             # dynamic nbits excludes the <=15-bit EOB; pad the fetch
             maxw = int(nbits_np.max() + 15 + 31) // 32 + 1 if nt else 1

@@ -43,7 +43,8 @@ def make_mesh(devices=None, axis: str = "dp"):
 
 @functools.lru_cache(maxsize=32)
 def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
-                      window: int, ss: int, ov: int, pallas: str):
+                      window: int, ss: int, ov: int, ctx: int,
+                      probes: int, pallas: str):
     """Compile the mesh-sharded tokenize step (cached per mesh+shape)."""
     import jax
     import jax.numpy as jnp
@@ -60,6 +61,7 @@ def _sharded_tokenize(mesh_key, n: int, min_match: int, max_match: int,
         toks, ntok = lz77_tokenize(data, lengths, n=n, min_match=min_match,
                                    max_match=max_match, window=window,
                                    search_seg=ss, search_overlap=ov,
+                                   ctx_words=ctx, probes=probes,
                                    pallas=pallas)
         # cross-chip stats psum — the per-instance counter aggregation
         # (src/qatzip_counter.c:56-81) done as a collective
@@ -80,7 +82,8 @@ def _mesh_platform(mesh) -> str:
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_pack(mesh_key, n: int, ss: int, ov: int, pallas: str):
+def _sharded_pack(mesh_key, n: int, ss: int, ov: int, ctx: int,
+                  probes: int, pallas: str):
     """Compile the mesh-sharded full-device deflate pack (static codes):
     rows are independent, so the batch axis shards over ``dp`` with no
     collectives — the multi-chip leg of the single-call-compress path."""
@@ -95,14 +98,16 @@ def _sharded_pack(mesh_key, n: int, ss: int, ov: int, pallas: str):
 
     def step(data, lengths):
         return deflate_pack_device(data, lengths, n=n, search_seg=ss,
-                                   search_overlap=ov, pallas=pallas)
+                                   search_overlap=ov, ctx_words=ctx,
+                                   probes=probes, pallas=pallas)
 
     return jax.jit(step, in_shardings=(data_s, len_s),
                    out_shardings=(data_s, len_s))
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_hist(mesh_key, n: int, ss: int, ov: int, pallas: str):
+def _sharded_hist(mesh_key, n: int, ss: int, ov: int, ctx: int,
+                  probes: int, pallas: str):
     """Compile dynamic pass 1 (parse + per-chunk histogram) over ``dp``."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -115,7 +120,8 @@ def _sharded_hist(mesh_key, n: int, ss: int, ov: int, pallas: str):
 
     def step(data, lengths):
         return deflate_analyze_hist(data, lengths, n=n, search_seg=ss,
-                                    search_overlap=ov, pallas=pallas)
+                                    search_overlap=ov, ctx_words=ctx,
+                                    probes=probes, pallas=pallas)
 
     return jax.jit(step, in_shardings=(data_s, len_s),
                    out_shardings=(data_s,) * 5)
@@ -147,6 +153,7 @@ def _sharded_dyn_pack(mesh_key, n: int, pallas: str):
 
 def mesh_pack_device(mesh, data: np.ndarray, lengths: np.ndarray, *,
                      n: int, search_seg: int = 0, search_overlap: int = 1024,
+                     ctx_words: int = 4, probes: int = 6,
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Static-Huffman device pack sharded over the ``dp`` axis. The
     batch's leading dim must be divisible by the mesh size."""
@@ -154,6 +161,7 @@ def mesh_pack_device(mesh, data: np.ndarray, lengths: np.ndarray, *,
 
     from ..ops.deflate_pack import _pallas_mode
     step = _sharded_pack(_MeshKey(mesh), n, search_seg, search_overlap,
+                         ctx_words, probes,
                          _pallas_mode(_mesh_platform(mesh)))
     words, nbits = step(jnp.asarray(data), jnp.asarray(lengths))
     return words, nbits
@@ -161,7 +169,8 @@ def mesh_pack_device(mesh, data: np.ndarray, lengths: np.ndarray, *,
 
 def mesh_analyze_hist(mesh, data: np.ndarray, lengths: np.ndarray, *,
                       n: int, search_seg: int = 0,
-                      search_overlap: int = 1024):
+                      search_overlap: int = 1024,
+                      ctx_words: int = 4, probes: int = 6):
     """Dynamic pass 1 sharded over ``dp``: returns DEVICE arrays
     (hist, ml, dist, taken, lit) — the parse planes stay sharded on
     device for pass 2; only the tiny histograms go to host."""
@@ -169,6 +178,7 @@ def mesh_analyze_hist(mesh, data: np.ndarray, lengths: np.ndarray, *,
 
     from ..ops.deflate_pack import _pallas_mode
     step = _sharded_hist(_MeshKey(mesh), n, search_seg, search_overlap,
+                         ctx_words, probes,
                          _pallas_mode(_mesh_platform(mesh)))
     return step(jnp.asarray(data), jnp.asarray(lengths))
 
@@ -205,6 +215,7 @@ def mesh_tokenize(mesh, data: np.ndarray, lengths: np.ndarray, *, n: int,
                   min_match: int = 4, max_match: int = 258,
                   window: int = 32768, search_seg: int = 0,
                   search_overlap: int = 1024,
+                  ctx_words: int = 4, probes: int = 6,
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Tokenize a chunk batch sharded over the mesh's ``dp`` axis.
 
@@ -216,6 +227,7 @@ def mesh_tokenize(mesh, data: np.ndarray, lengths: np.ndarray, *, n: int,
     from ..ops.deflate_pack import _pallas_mode
     step = _sharded_tokenize(_MeshKey(mesh), n, min_match, max_match,
                              window, search_seg, search_overlap,
+                             ctx_words, probes,
                              _pallas_mode(_mesh_platform(mesh)))
     toks, ntok, stats = step(jnp.asarray(data), jnp.asarray(lengths))
     return np.asarray(toks), np.asarray(ntok), np.asarray(stats)

@@ -11,7 +11,7 @@ from qatzip_tpu.ops.deflate_pack import deflate_pack_device
 
 corpus = make_corpus(16)
 n = 65536
-ss, ov, cs = _engine_knobs(n)
+ss, ov, cs = _engine_knobs(n)[:3]
 dd, ll = _device_batch(corpus, 256, n)
 
 @functools.partial(jax.jit, static_argnames=("n",))
