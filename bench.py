@@ -180,6 +180,10 @@ def _scan_batches(corpus: bytes, b: int, n: int):
     from qatzip_tpu.parallel.dispatch import SCAN_TILES
 
     k = max(1, min(max(SCAN_TILES, 1), len(corpus) // (b * n)))
+    if len(corpus) < k * b * n:
+        # short corpus: zero-pad the tail so the per-row frombuffer
+        # copies never slice past the end (ADVICE r4)
+        corpus = corpus + b"\0" * (k * b * n - len(corpus))
     data = np.zeros((k, b, n), np.uint8)
     view = memoryview(corpus)
     for g in range(k):

@@ -273,8 +273,14 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     # INVERTED distance makes "longest match, nearest on ties" a single
     # jnp.maximum per probe (larger ml wins; equal ml -> larger inverted
     # field = smaller dist = nearest predecessor, since bucket
-    # predecessors at growing delta have strictly growing dist)
-    dbits = pbits if segmented else 15
+    # predecessors at growing delta have strictly growing dist).
+    # dbits must match how the unsort below unpacks: the single-operand
+    # unsort keeps dist in pbits bits, the full-row fallback in 15 — so
+    # decide the unsort path HERE, once (a segmented search can still
+    # take the fallback when pos+ml+dist overflow 31 bits or ml
+    # overflows its 5-bit field; ADVICE r4 high).
+    one_op_unsort = segmented and 2 * pbits + 5 <= 31 and ctx_bytes <= 31
+    dbits = pbits if one_op_unsort else 15
     dmask = np.uint32((1 << dbits) - 1)
 
     def cand_at(delta):
@@ -326,7 +332,7 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     # TOP bits, so the un-sort is a SINGLE-operand sort of
     # (pos << (pbits+5)) | (ml << pbits) | (dist-1) — each extra lax.sort
     # operand costs ~2-4 ms per 16 MB batch on v5e (tools/devsweep.py)
-    if segmented and 2 * pbits + 5 <= 31 and ctx_bytes <= 31:
+    if one_op_unsort:
         # cand ^ dmask un-inverts the distance field in place, yielding
         # (ml << pbits) | (dist-1) without extract/repack
         packed_p = jax.lax.sort(

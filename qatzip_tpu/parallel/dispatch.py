@@ -167,12 +167,16 @@ def _tok_knobs(level: int, n: int):
         ov = 896 if fast else 1024
     if cs < 0:
         cs = 512
+    if ss >= n:
+        # full reach for small chunks — clamp BEFORE deriving ctx/probes
+        # so they fall back to the full-reach values (ctx4/probes6): the
+        # ctx3/probes7 ratio-neutrality was only measured under the 8K
+        # windowed search (ADVICE r4).
+        ss = 0
     if ctx < 0:
         ctx = 3 if fast and ss else 4
     if probes < 0:
         probes = 7 if fast and ss else 6
-    if ss >= n:
-        ss = 0
     if cs >= n:
         cs = 0
     return ss, ov, cs, ctx, probes

@@ -161,6 +161,47 @@ def test_nonpow2_search_seg_roundtrip():
         assert out == data, f"search_seg={ss}"
 
 
+def test_segmented_fallback_unsort_roundtrip():
+    """ADVICE r4 (high): the probe accumulator packed dist in pbits bits
+    whenever segmented, but the segmented-to-full-row unsort fallback
+    (taken when 2*pbits+5 > 31 or ctx_bytes > 31) unpacks at fixed 15
+    bits — search_seg=16384 (pbits=14) biased distances by +16384 and
+    ctx_words=8 silently dropped every match. dbits must be derived from
+    the unsort path actually taken."""
+    import jax.numpy as jnp
+    from qatzip_tpu.ops.lz77 import lz77_tokenize, tokens_to_bytes
+
+    rng = np.random.default_rng(3)
+    base = bytes(rng.integers(97, 102, 5000, dtype=np.uint8))
+    data = (base * 8)[:32768]
+    arr = jnp.array(np.frombuffer(data, np.uint8)[None, :].copy())
+    lens = jnp.array([len(data)], jnp.int32)
+    for kw in (dict(search_seg=16384),            # pbits=14: 33 bits
+               dict(search_seg=8192, ctx_words=8)):  # ml field overflow
+        toks, ntok = lz77_tokenize(arr, lens, n=len(data), **kw)
+        out = tokens_to_bytes(np.asarray(toks[0]), np.asarray(ntok[0]),
+                              data)
+        assert out == data, f"{kw}"
+        # matches must actually be found (ctx_words=8 regression dropped
+        # them all: ratio collapse without a round-trip failure)
+        t = np.asarray(toks[0])[: int(ntok[0])]
+        assert (t >> 31).any(), f"no matches emitted: {kw}"
+
+
+def test_small_chunk_full_reach_keeps_ctx4(monkeypatch):
+    """ADVICE r4 (low): for n <= search_seg the search runs full-reach;
+    ctx/probes must then be the full-reach values (4/6), not the
+    windowed-search ones (3/7)."""
+    from qatzip_tpu.parallel.dispatch import _tok_knobs
+
+    for var in ("QZTPU_SEARCH_SEG", "QZTPU_CTX_WORDS", "QZTPU_PROBES"):
+        monkeypatch.delenv(var, raising=False)
+    ss, _ov, _cs, ctx, probes = _tok_knobs(1, 8192)
+    assert ss == 0 and ctx == 4 and probes == 6
+    ss, _ov, _cs, ctx, probes = _tok_knobs(1, 65536)
+    assert ss == 8192 and ctx == 3 and probes == 7
+
+
 def test_crc32_combine_zero_len_zlib_semantics():
     """Round-3 review: crc32_combine(crc1, crc2, 0) must return crc1
     (zlib's degenerate case) so the Python fallback and the native
