@@ -1495,8 +1495,40 @@ static void pack_entries(HuffTable* ht, bool is_litlen) {
     return ((uint32_t)DIST_BASE_TBL[sym] << 16) |
            ((uint32_t)DIST_EXTRA_TBL[sym] << 5) | len;
   };
-  for (uint32_t i = 0; i < (1u << HUFF_ROOT); ++i)
-    ht->root[i] = xf(ht->root[i]);
+  if (is_litlen) {
+    // literal-PAIR root entries (libdeflate's trick): when the literal
+    // at root index i has code length l1 and the following bits decode
+    // to another literal whose length fits the remaining ROOT-l1 bits,
+    // one load yields BOTH bytes. Validity: the zero-padded index
+    // i >> l1 resolves identically to the real continuation iff
+    // l2 <= ROOT - l1 (table fill covers all high-bit continuations),
+    // and prefix-freeness makes a false pair impossible at decode time.
+    // Dominant for short-code alphabets (DNA: 2-3 bit literals).
+    //   pair: 0x30000000 | byte2<<16 | byte1<<8 | (l1+l2)
+    uint32_t orig[1 << HUFF_ROOT];
+    std::memcpy(orig, ht->root, sizeof(orig));
+    for (uint32_t i = 0; i < (1u << HUFF_ROOT); ++i) {
+      uint32_t e1 = orig[i];
+      if (e1 && !(e1 & 0x80000000u)) {
+        uint32_t sym1 = e1 >> 5, l1 = e1 & 31;
+        if (sym1 < 256) {
+          uint32_t e2 = orig[i >> l1];
+          if (e2 && !(e2 & 0x80000000u)) {
+            uint32_t sym2 = e2 >> 5, l2 = e2 & 31;
+            if (sym2 < 256 && l1 + l2 <= (uint32_t)HUFF_ROOT) {
+              ht->root[i] =
+                  0x30000000u | (sym2 << 16) | (sym1 << 8) | (l1 + l2);
+              continue;
+            }
+          }
+        }
+      }
+      ht->root[i] = xf(e1);
+    }
+  } else {
+    for (uint32_t i = 0; i < (1u << HUFF_ROOT); ++i)
+      ht->root[i] = xf(ht->root[i]);
+  }
   for (uint32_t i = 0; i < ht->sub_used; ++i) ht->sub[i] = xf(ht->sub[i]);
 }
 
@@ -1701,23 +1733,45 @@ int64_t qz_inflate_raw2(const uint8_t* src, int64_t n, uint8_t* dst,
       for (;;) {
         in.refill();
         uint32_t e = resolve_packed(*lt, in.bits);
-        // literal fast loop: one refill GUARANTEES three <=15-bit codes
-        // (3x15 = 45 <= 56 buffered bits), so the per-literal nbits
-        // check disappears — refill only every third literal
+        // literal fast loop: one refill GUARANTEES three steps (3x15 =
+        // 45 <= 56 buffered bits; a PAIR step consumes <= ROOT = 10),
+        // so the per-literal nbits check disappears — refill only every
+        // third step. Pair entries (0x10000000) write two bytes.
         while (e & 0x20000000u) {
-          if (op >= oend) goto done;
           in.drop(e & 31);
-          *op++ = (uint8_t)(e >> 8);
+          if (e & 0x10000000u) {
+            if (op + 2 > oend) goto done;
+            op[0] = (uint8_t)(e >> 8);
+            op[1] = (uint8_t)(e >> 16);
+            op += 2;
+          } else {
+            if (op >= oend) goto done;
+            *op++ = (uint8_t)(e >> 8);
+          }
           e = resolve_packed(*lt, in.bits);
           if (!(e & 0x20000000u)) break;
-          if (op >= oend) goto done;
           in.drop(e & 31);
-          *op++ = (uint8_t)(e >> 8);
+          if (e & 0x10000000u) {
+            if (op + 2 > oend) goto done;
+            op[0] = (uint8_t)(e >> 8);
+            op[1] = (uint8_t)(e >> 16);
+            op += 2;
+          } else {
+            if (op >= oend) goto done;
+            *op++ = (uint8_t)(e >> 8);
+          }
           e = resolve_packed(*lt, in.bits);
           if (!(e & 0x20000000u)) break;
-          if (op >= oend) goto done;
           in.drop(e & 31);
-          *op++ = (uint8_t)(e >> 8);
+          if (e & 0x10000000u) {
+            if (op + 2 > oend) goto done;
+            op[0] = (uint8_t)(e >> 8);
+            op[1] = (uint8_t)(e >> 16);
+            op += 2;
+          } else {
+            if (op >= oend) goto done;
+            *op++ = (uint8_t)(e >> 8);
+          }
           in.refill();
           e = resolve_packed(*lt, in.bits);
         }
@@ -1772,10 +1826,9 @@ static void init_crc32_tables() {
                           g_crc32_tbl[0][g_crc32_tbl[t - 1][i] & 0xFF];
 }
 
-uint32_t qz_crc32(const uint8_t* p, int64_t n, uint32_t crc) {
-  static bool ready = (init_crc32_tables(), true);
-  (void)ready;
-  crc = ~crc;
+// slicing-by-16 core over the INNER state (no pre/post inversion) — the
+// tail/fallback engine behind qz_crc32 and the PCLMUL finalization
+static uint32_t crc32_inner(const uint8_t* p, int64_t n, uint32_t crc) {
   while (n >= 16) {           // slicing-by-16 main loop
     uint32_t a, b, c, d;
     std::memcpy(&a, p, 4);
@@ -1807,7 +1860,123 @@ uint32_t qz_crc32(const uint8_t* p, int64_t n, uint32_t crc) {
     n -= 8;
   }
   while (n-- > 0) crc = (crc >> 8) ^ g_crc32_tbl[0][(crc ^ *p++) & 0xFF];
-  return ~crc;
+  return crc;
+}
+
+#if defined(__PCLMUL__) && defined(__SSE4_1__)
+#include <wmmintrin.h>
+
+// x^n mod G(x), G = the CRC-32 generator 0x104C11DB7, result bit i =
+// coefficient of x^i (computed at init — no magic fold constants to
+// mis-transcribe; the values match the published Intel/zlib tables)
+static uint32_t crc32_xn_modg(int n) {
+  uint32_t r = 1;  // x^0
+  while (n--) {
+    uint32_t hi = r & 0x80000000u;
+    r <<= 1;
+    if (hi) r ^= 0x04C11DB7u;
+  }
+  return r;
+}
+
+// carry-less multiplier for "multiply a bit-reflected polynomial by
+// x^n mod G": with both operands bit-reflected, PCLMUL yields the
+// reflected product >> 1; pre-shifting the constant left by 1 aligns it
+static uint64_t crc32_fold_k(int n) {
+  uint32_t t = crc32_xn_modg(n), r = 0;
+  for (int i = 0; i < 32; ++i) r |= ((t >> i) & 1u) << (31 - i);
+  return (uint64_t)r << 1;
+}
+
+// PCLMUL folding over 64-byte stripes (4 independent 128-bit
+// accumulators), reflected domain. Invariant: the accumulator set
+// represents a polynomial S with crc_state == (S*x^32 + tail) mod G, so
+// the finalization needs NO Barrett step — store the final 16
+// accumulator bytes and run the scalar slicing core over them (the
+// bytes ARE the reflected representation of S). ~4-6x the slicing rate.
+static uint32_t crc32_clmul(const uint8_t* p, int64_t n, uint32_t crc) {
+  // the clmul of a register half by fold_k(n) represents A*(x^n)*x^32
+  // in the register convention while the raw XORed-in block carries no
+  // x^32 — so a fold by x^N uses exponents N+64-32 / N-32
+  static const __m128i K512 =
+      _mm_set_epi64x((long long)crc32_fold_k(480),
+                     (long long)crc32_fold_k(544));
+  static const __m128i K128 =
+      _mm_set_epi64x((long long)crc32_fold_k(96),
+                     (long long)crc32_fold_k(160));
+  __m128i x0 = _mm_loadu_si128((const __m128i*)p);
+  __m128i x1 = _mm_loadu_si128((const __m128i*)(p + 16));
+  __m128i x2 = _mm_loadu_si128((const __m128i*)(p + 32));
+  __m128i x3 = _mm_loadu_si128((const __m128i*)(p + 48));
+  x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)crc));
+  p += 64;
+  n -= 64;
+  while (n >= 64) {
+    x0 = _mm_xor_si128(
+        _mm_xor_si128(_mm_clmulepi64_si128(x0, K512, 0x00),
+                      _mm_clmulepi64_si128(x0, K512, 0x11)),
+        _mm_loadu_si128((const __m128i*)p));
+    x1 = _mm_xor_si128(
+        _mm_xor_si128(_mm_clmulepi64_si128(x1, K512, 0x00),
+                      _mm_clmulepi64_si128(x1, K512, 0x11)),
+        _mm_loadu_si128((const __m128i*)(p + 16)));
+    x2 = _mm_xor_si128(
+        _mm_xor_si128(_mm_clmulepi64_si128(x2, K512, 0x00),
+                      _mm_clmulepi64_si128(x2, K512, 0x11)),
+        _mm_loadu_si128((const __m128i*)(p + 32)));
+    x3 = _mm_xor_si128(
+        _mm_xor_si128(_mm_clmulepi64_si128(x3, K512, 0x00),
+                      _mm_clmulepi64_si128(x3, K512, 0x11)),
+        _mm_loadu_si128((const __m128i*)(p + 48)));
+    p += 64;
+    n -= 64;
+  }
+  // combine the 4 accumulators (each fold multiplies by x^128)
+  __m128i y = x0;
+  y = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(y, K128, 0x00),
+                                  _mm_clmulepi64_si128(y, K128, 0x11)),
+                    x1);
+  y = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(y, K128, 0x00),
+                                  _mm_clmulepi64_si128(y, K128, 0x11)),
+                    x2);
+  y = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(y, K128, 0x00),
+                                  _mm_clmulepi64_si128(y, K128, 0x11)),
+                    x3);
+  while (n >= 16) {   // remaining whole 16-byte blocks
+    y = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(y, K128, 0x00),
+                                    _mm_clmulepi64_si128(y, K128, 0x11)),
+                      _mm_loadu_si128((const __m128i*)p));
+    p += 16;
+    n -= 16;
+  }
+  uint8_t acc[16];
+  _mm_storeu_si128((__m128i*)acc, y);
+  return crc32_inner(p, n, crc32_inner(acc, 16, 0));
+}
+
+static bool crc32_clmul_selftest() {
+  uint8_t buf[1031];
+  uint32_t s = 0x9E3779B9u;
+  for (size_t i = 0; i < sizeof(buf); ++i) {
+    s = s * 1664525u + 1013904223u;
+    buf[i] = (uint8_t)(s >> 24);
+  }
+  for (int64_t len : {64, 65, 128, 512, 1000, 1031})
+    if (crc32_clmul(buf, len, 0x12345678u) !=
+        crc32_inner(buf, len, 0x12345678u))
+      return false;
+  return true;
+}
+#endif  // __PCLMUL__
+
+uint32_t qz_crc32(const uint8_t* p, int64_t n, uint32_t crc) {
+  static bool ready = (init_crc32_tables(), true);
+  (void)ready;
+#if defined(__PCLMUL__) && defined(__SSE4_1__)
+  static const bool clmul_ok = crc32_clmul_selftest();
+  if (clmul_ok && n >= 64) return ~crc32_clmul(p, n, ~crc);
+#endif
+  return ~crc32_inner(p, n, ~crc);
 }
 
 // ---------------------------------------------------------------------------

@@ -295,9 +295,11 @@ class _NativeLib:
         """
         import os as _os
         if nthreads <= 0:
-            # oversubscribe: crc32 and table-build phases leave bubbles
-            # an extra wave fills (nt=4*cores measured +7% on 4 cores)
-            nthreads = min(4 * (_os.cpu_count() or 4), 32)
+            # mild oversubscription: table-build phases leave bubbles an
+            # extra wave fills. 2x cores measured best once the PCLMUL
+            # crc shrank the per-member bubble (4x was +7% before, -5%
+            # after — tools/decprof.py)
+            nthreads = min(2 * (_os.cpu_count() or 4), 32)
         if pyext is not None:
             offs = np.ascontiguousarray(in_offs, np.int64)
             lens = np.ascontiguousarray(in_lens, np.int64)

@@ -213,3 +213,47 @@ def test_lz4_concatenated_frames():
     s = qz.QzSession()
     s.setup_lz4()
     assert s.decompress(s.compress(a) + s.compress(b)) == a + b
+
+
+def test_inflate_differential_vs_zlib_all_levels():
+    """Round-5 decoder changes (literal-PAIR root entries, PCLMUL crc):
+    the inflate must stay bit-exact on stock-zlib streams at every level
+    (stored / static / dynamic block mixes) and every corpus shape —
+    pair entries fire hardest on short-code alphabets (dna/rle)."""
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        kind = trial % 5
+        n = int(rng.integers(0, 150000))
+        if kind == 0:
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        elif kind == 1:
+            data = rng.choice(np.frombuffer(b"ACGT", np.uint8), n).tobytes()
+        elif kind == 2:
+            base = rng.integers(97, 123, max(n // 20, 1),
+                                dtype=np.uint8).tobytes()
+            data = (base * 25)[:n]
+        elif kind == 3:
+            data = bytes(n)
+        else:
+            words = [b"the ", b"quick ", b"fox ", b'jumps<tag a="1">',
+                     b"\n"]
+            data = b"".join(words[int(i) % 5]
+                            for i in rng.integers(0, 5, n // 4))[:n]
+        lvl = int(rng.integers(0, 10))
+        comp = zlib.compressobj(lvl, zlib.DEFLATED, -15)
+        blob = comp.compress(data) + comp.flush()
+        out = native.lib.inflate_raw(blob, len(data))
+        got = bytes(out) if out is not None else None
+        assert got == data, (trial, kind, lvl, n)
+
+
+def test_crc32_clmul_exact_vs_zlib():
+    """The PCLMUL-folding crc32 (runtime-derived constants) must agree
+    with zlib for every size class around the 64-byte entry threshold
+    and both zero/nonzero initial values."""
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 63, 64, 65, 127, 128, 129, 1000, 65536, 1 << 20):
+        b = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        for init in (0, 0xDEADBEEF):
+            assert native.lib.crc32(b, init) == zlib.crc32(b, init), (n,
+                                                                      init)
