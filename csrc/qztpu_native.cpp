@@ -2373,6 +2373,92 @@ static int64_t lz77_host_lazy_impl(const uint8_t* src, int64_t n,
 }
 }  // namespace
 
+// One-call SW deflate compress for a whole chunk batch: match + pack +
+// crc per chunk on a native thread pool, GIL-free — the entire
+// qzSWCompress hot path (reference src/qatzip_sw.c:76-253) as one batch
+// service, the compress mirror of qz_inflate_batch. Eliminates the
+// per-chunk Python round-trips (3 calls + futures per chunk measured
+// ~30% of the pooled path, tools/decprof.py era profiling).
+// srcs[i]/lens[i] address each chunk (no contiguity requirement);
+// out_len[i] = packed bytes at dst+dst_off[i], or -1 on overflow.
+extern "C" int64_t qz_lz77_host(const uint8_t*, int64_t, uint32_t*,
+                                int64_t, int32_t);
+extern "C" void qz_deflate_compress_batch(
+    const uint8_t* const* srcs, const int64_t* lens, const uint8_t* finals,
+    int32_t chain, int32_t mode, uint8_t* dst, const int64_t* dst_off,
+    const int64_t* dst_cap, int64_t* out_len, uint32_t* crcs,
+    int32_t nchunks, int32_t nthreads) {
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    std::vector<uint32_t> toks;
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= nchunks) return;
+      const uint8_t* p = srcs[i];
+      int64_t n = lens[i];
+      // token cap: worst case ~2 tokens per 5 bytes (1-literal run +
+      // 4-byte match alternating) — n/2 + 64 is safely above it
+      int64_t cap = n / 2 + 64;
+      if ((int64_t)toks.size() < cap) toks.resize((size_t)cap);
+      int64_t t = qz_lz77_host(p, n, toks.data(), cap, chain);
+      if (t < 0) {
+        out_len[i] = -1;
+        crcs[i] = 0;
+        continue;
+      }
+      out_len[i] = qz_deflate_pack(p, n, toks.data(), t, dst + dst_off[i],
+                                   dst_cap[i], finals[i], mode);
+      crcs[i] = qz_crc32(p, n, 0);
+    }
+  };
+  if (nthreads <= 1 || nchunks <= 1) {
+    worker();
+    return;
+  }
+  int nt = nthreads < nchunks ? nthreads : nchunks;
+  std::thread threads[64];
+  if (nt > 64) nt = 64;
+  for (int t = 0; t < nt; ++t) threads[t] = std::thread(worker);
+  for (int t = 0; t < nt; ++t) threads[t].join();
+}
+
+// LZ4/LZ4s mirror of qz_deflate_compress_batch: whole chunk batch in one
+// GIL-free call. fmt 0 = LZ4 block, 1 = LZ4s block (mini_match applies).
+extern "C" int64_t qz_lz4_compress_block(const uint8_t*, int64_t, uint8_t*,
+                                         int64_t, int32_t);
+extern "C" int64_t qz_lz4s_compress_block(const uint8_t*, int64_t, uint8_t*,
+                                          int64_t, int32_t, int32_t);
+extern "C" void qz_lz4_compress_batch(
+    const uint8_t* const* srcs, const int64_t* lens, int32_t fmt,
+    int32_t mini_match, int32_t max_distance, uint8_t* dst,
+    const int64_t* dst_off, const int64_t* dst_cap, int64_t* out_len,
+    uint32_t* crcs, int32_t nchunks, int32_t nthreads) {
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= nchunks) return;
+      const uint8_t* p = srcs[i];
+      int64_t n = lens[i];
+      out_len[i] =
+          fmt ? qz_lz4s_compress_block(p, n, dst + dst_off[i], dst_cap[i],
+                                       mini_match, max_distance)
+              : qz_lz4_compress_block(p, n, dst + dst_off[i], dst_cap[i],
+                                      max_distance);
+      crcs[i] = qz_crc32(p, n, 0);
+    }
+  };
+  if (nthreads <= 1 || nchunks <= 1) {
+    worker();
+    return;
+  }
+  int nt = nthreads < nchunks ? nthreads : nchunks;
+  std::thread threads[64];
+  if (nt > 64) nt = 64;
+  for (int t = 0; t < nt; ++t) threads[t] = std::thread(worker);
+  for (int t = 0; t < nt; ++t) threads[t].join();
+}
+
 // Returns token count, or -1 when cap is too small. chain = max hash-chain
 // probes per position (4 ~ Pareto-above zlib L1-L3, 16+ ~ mid levels);
 // negative chain = |chain| probes with LAZY evaluation (deflate_slow).

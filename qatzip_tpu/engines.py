@@ -58,6 +58,10 @@ class HostEngine:
         its final flag is true, else a full-flushed non-final segment —
         matching the reference's FLUSH_FULL/FLUSH_FINAL per-chunk policy
         (src/qatzip.c:1384-1394).
+
+        Payloads are bytes-like and may be zero-copy views into a native
+        staging buffer (the one-call batch path); callers that cross a
+        process boundary must materialize with bytes().
         """
         zlevel = effective_deflate_sw_level(level)
         finals = final_flags or [True] * len(chunks)
@@ -114,6 +118,24 @@ class HostEngine:
         items = list(zip(chunks, finals))
         if len(items) <= 1:
             return [one(a) for a in items]
+        if use_native_coder and all(len(c) for c in chunks):
+            # whole batch in ONE GIL-free native call (matcher + packer +
+            # crc on a native pool) — drops the per-chunk Python round
+            # trips (3 calls + a future each), measured ~30% of the
+            # pooled path on the 48 MB bench request
+            batched = _native.lib.deflate_compress_batch(
+                chunks, [1 if f else 0 for f in finals], chain=chain,
+                mode=0)
+            if batched is not None:
+                payloads, crcs = batched
+                return [(p, int(c)) for p, c in zip(payloads, crcs)]
+        if (algorithm in ("lz4", "lz4s") and _native.lib is not None
+                and all(len(c) for c in chunks)):
+            batched = _native.lib.lz4_compress_batch(
+                chunks, fmt=algorithm, mini_match=mini_match)
+            if batched is not None:
+                payloads, crcs = batched
+                return [(p, int(c)) for p, c in zip(payloads, crcs)]
         return list(host_pool().map(one, items))
 
     def decompress_chunks(self, payloads: Sequence[bytes],

@@ -192,6 +192,16 @@ class _NativeLib:
         L.qz_deflate_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                       ctypes.c_int64, _u8p, ctypes.c_int64,
                                       ctypes.c_int32, ctypes.c_int32]
+        L.qz_deflate_compress_batch.restype = None
+        L.qz_deflate_compress_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), _i64p, _u8p, ctypes.c_int32,
+            ctypes.c_int32, _u8p, _i64p, _i64p, _i64p, _u32p,
+            ctypes.c_int32, ctypes.c_int32]
+        L.qz_lz4_compress_batch.restype = None
+        L.qz_lz4_compress_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), _i64p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, _u8p, _i64p, _i64p, _i64p,
+            _u32p, ctypes.c_int32, ctypes.c_int32]
         L.qz_lz77_host.restype = ctypes.c_int64
         L.qz_lz77_host.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                    ctypes.c_int64, ctypes.c_int32]
@@ -346,6 +356,84 @@ class _NativeLib:
             caps.ctypes.data_as(_i64p), out_lens.ctypes.data_as(_i64p),
             n, nthreads)
         return dst[:total].tobytes(), out_lens
+
+    @staticmethod
+    def _stage_chunk_batch(chunks, caps_of):
+        """Pointer-array staging shared by the batch compressors.
+        Returns (srcs ptr array, lens, views keepalive, dst_off, caps,
+        dst, out_len, crcs)."""
+        n = len(chunks)
+        srcs = (ctypes.c_void_p * n)()
+        lens = np.empty(n, np.int64)
+        views = []           # keep buffers alive across the call
+        for i, ch in enumerate(chunks):
+            a = (np.frombuffer(ch, np.uint8)
+                 if not isinstance(ch, np.ndarray) else ch)
+            views.append(a)
+            srcs[i] = a.ctypes.data
+            lens[i] = len(a)
+        caps = caps_of(lens)
+        dst_off = np.zeros(n, np.int64)
+        np.cumsum(caps[:-1], out=dst_off[1:])
+        dst = np.empty(max(int(caps.sum()), 1), np.uint8)
+        return (srcs, lens, views, dst_off, caps, dst,
+                np.empty(n, np.int64), np.empty(n, np.uint32))
+
+    def deflate_compress_batch(self, chunks, finals, chain: int = 4,
+                               mode: int = 0, nthreads: int = 0):
+        """One GIL-free native call compresses a whole chunk batch
+        (matcher + packer + crc32 per chunk on a native thread pool) —
+        the compress mirror of inflate_batch_bytes and the SW analog of
+        the reference's N-process x M-thread harness model. Returns
+        (payloads: list of memoryview into one staging buffer,
+        crcs: np.uint32) or None when any chunk overflowed (caller
+        falls back to the per-chunk path)."""
+        import os as _os
+        n = len(chunks)
+        if nthreads <= 0:
+            nthreads = min(2 * (_os.cpu_count() or 4), 32)
+        srcs, lens, _views, dst_off, caps, dst, out_len, crcs = \
+            self._stage_chunk_batch(
+                chunks, lambda ln: ln + (ln >> 3) + 1024)
+        fin = np.ascontiguousarray(finals, np.uint8)
+        self._lib.qz_deflate_compress_batch(
+            srcs, lens.ctypes.data_as(_i64p), self._as_u8p(fin),
+            chain, mode, self._as_u8p(dst),
+            dst_off.ctypes.data_as(_i64p), caps.ctypes.data_as(_i64p),
+            out_len.ctypes.data_as(_i64p), crcs.ctypes.data_as(_u32p),
+            n, nthreads)
+        if (out_len < 0).any():
+            return None
+        mv = memoryview(dst)
+        payloads = [mv[int(dst_off[i]):int(dst_off[i] + out_len[i])]
+                    for i in range(n)]
+        return payloads, crcs
+
+    def lz4_compress_batch(self, chunks, fmt: str = "lz4",
+                           mini_match: int = 3, max_distance: int = 32768,
+                           nthreads: int = 0):
+        """LZ4/LZ4s mirror of deflate_compress_batch: the whole chunk
+        batch compresses in one GIL-free call. Returns (payloads:
+        memoryviews, crcs) or None on any per-chunk failure."""
+        import os as _os
+        n = len(chunks)
+        if nthreads <= 0:
+            nthreads = min(2 * (_os.cpu_count() or 4), 32)
+        srcs, lens, _views, dst_off, caps, dst, out_len, crcs = \
+            self._stage_chunk_batch(
+                chunks, lambda ln: ln + ln // 255 + 64)
+        self._lib.qz_lz4_compress_batch(
+            srcs, lens.ctypes.data_as(_i64p),
+            1 if fmt == "lz4s" else 0, mini_match, max_distance,
+            self._as_u8p(dst), dst_off.ctypes.data_as(_i64p),
+            caps.ctypes.data_as(_i64p), out_len.ctypes.data_as(_i64p),
+            crcs.ctypes.data_as(_u32p), n, nthreads)
+        if (out_len <= 0).any():
+            return None
+        mv = memoryview(dst)
+        payloads = [mv[int(dst_off[i]):int(dst_off[i] + out_len[i])]
+                    for i in range(n)]
+        return payloads, crcs
 
     def scan_gzipext(self, data):
         """Walk strict QZ-ext gzip members natively (the checkHeader

@@ -80,7 +80,10 @@ def compress_striped(chunks: Sequence[bytes], *, algorithm: str = "deflate",
     results = eng.compress_chunks(mine, level=level, algorithm=algorithm,
                                   huffman_static=huffman_static,
                                   mini_match=mini_match)
-    return idx, results
+    # engine payloads may be zero-copy views into a native staging
+    # buffer (round-5 batch compress); this result crosses a process
+    # boundary (pickled stripe), so materialize bytes here
+    return idx, [(bytes(p), c) for p, c in results]
 
 
 def interleave_stripes(stripes: Sequence[Sequence], num_items: int) -> List:

@@ -257,3 +257,63 @@ def test_crc32_clmul_exact_vs_zlib():
         for init in (0, 0xDEADBEEF):
             assert native.lib.crc32(b, init) == zlib.crc32(b, init), (n,
                                                                       init)
+
+
+def test_deflate_compress_batch_matches_per_chunk():
+    """Round 5: the one-call GIL-free batch compress must produce the
+    SAME payloads and crcs as the per-chunk native path (same matcher,
+    same packer), for mixed finals and memoryview chunks."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(97, 123, 3000, dtype=np.uint8).tobytes()
+    data = ((base * 30) + rng.integers(0, 256, 70000,
+                                       dtype=np.uint8).tobytes())[:150000]
+    mv = memoryview(data)
+    chunks = [mv[o:o + 65536] for o in range(0, len(data), 65536)]
+    finals = [0, 1, 1]
+    got = native.lib.deflate_compress_batch(chunks, finals, chain=4,
+                                            mode=0)
+    assert got is not None
+    payloads, crcs = got
+    for ch, fin, pay, crc in zip(chunks, finals, payloads, crcs):
+        toks = native.lib.lz77_host(bytes(ch), chain=4)
+        want = native.lib.deflate_pack(bytes(ch), toks, len(toks),
+                                       final=bool(fin), mode=0)
+        assert bytes(pay) == want
+        assert int(crc) == zlib.crc32(ch)
+
+
+def test_compress_buffer_memoryview_chunks_roundtrip():
+    """_split_chunks now hands zero-copy views to the engines; the full
+    product path (batch native coder + framing) must stay stock-exact."""
+    import qatzip_tpu as qz
+
+    rng = np.random.default_rng(12)
+    data = (b"header " * 40000
+            + rng.integers(0, 256, 150000, dtype=np.uint8).tobytes())
+    s = qz.QzSession()
+    s.setup_deflate()
+    blob = s.compress(data)
+    assert s.decompress(blob) == data
+    import gzip as _gzip
+    assert _gzip.decompress(blob) == data
+
+
+def test_lz4_compress_batch_matches_per_chunk():
+    """Round 5: the LZ4/LZ4s batch compress (one GIL-free call) must be
+    byte-identical to the per-chunk block compressors."""
+    from qatzip_tpu.sw.codec import _lz4_block_compress
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(97, 123, 2500, dtype=np.uint8).tobytes()
+    data = ((base * 30)
+            + rng.integers(0, 256, 70000, dtype=np.uint8).tobytes())[:150000]
+    mv = memoryview(data)
+    chunks = [mv[o:o + 65536] for o in range(0, len(data), 65536)]
+    pays, crcs = native.lib.lz4_compress_batch(chunks, fmt="lz4")
+    for ch, p, c in zip(chunks, pays, crcs):
+        assert bytes(p) == _lz4_block_compress(bytes(ch))
+        assert int(c) == zlib.crc32(ch)
+    pays2, _ = native.lib.lz4_compress_batch(chunks, fmt="lz4s",
+                                             mini_match=3)
+    for ch, p in zip(chunks, pays2):
+        assert bytes(p) == native.lib.lz4s_compress_block(bytes(ch), 3)
