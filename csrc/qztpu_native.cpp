@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -2092,12 +2093,31 @@ uint32_t qz_crc32_combine_many(const uint32_t* crcs, const int64_t* lens,
 // silicon through the same submit/poll pair, src/qatzip.c:2374-2797).
 // in_len[i] < 0 marks a STORED block: copy |in_len| source bytes
 // verbatim (the frame's highest-bit-set block size case).
+// ``crcs`` (nullable): per-block crc32 of the decoded bytes, computed
+// while the block is cache-warm — the caller folds them with
+// crc32_combine instead of re-reading the whole output (a full DRAM
+// pass on large frames).
+// ``xxh`` (nullable): xxh[0] in = seed, out = XXH32 of the whole decoded
+// output; xxh[1] out = 1 when valid. Computed by a TRAILING thread that
+// consumes blocks in order as decode workers finish them (L2-warm) —
+// overlapping the frame content-checksum pass behind the decode instead
+// of a separate full read afterwards. Valid only when every non-final
+// block length is a positive multiple of 16 (the XXH32 stripe width), so
+// the 4-lane phase stays aligned at block boundaries; otherwise xxh[1]=0
+// and the caller hashes the output itself.
 void qz_lz4_decompress_batch(const uint8_t* src, const int64_t* in_off,
                              const int64_t* in_len, uint8_t* dst,
                              const int64_t* out_off, const int64_t* out_cap,
                              int64_t* out_len, int32_t nblk,
-                             int32_t nthreads) {
+                             int32_t nthreads, uint32_t* crcs,
+                             uint32_t* xxh) {
   std::atomic<int32_t> next(0);
+  std::unique_ptr<std::atomic<uint8_t>[]> done;
+  if (xxh && nblk > 0) {
+    done.reset(new std::atomic<uint8_t>[nblk]);
+    for (int32_t i = 0; i < nblk; ++i)
+      done[i].store(0, std::memory_order_relaxed);
+  }
   auto worker = [&]() {
     for (;;) {
       int32_t i = next.fetch_add(1);
@@ -2110,21 +2130,80 @@ void qz_lz4_decompress_batch(const uint8_t* src, const int64_t* in_off,
           std::memcpy(dst + out_off[i], src + in_off[i], (size_t)sz);
           out_len[i] = sz;
         }
-        continue;
+      } else {
+        out_len[i] = qz_lz4_decompress_block(src + in_off[i], in_len[i],
+                                             dst + out_off[i], out_cap[i]);
       }
-      out_len[i] = qz_lz4_decompress_block(src + in_off[i], in_len[i],
-                                           dst + out_off[i], out_cap[i]);
+      if (crcs)
+        crcs[i] = out_len[i] >= 0
+                      ? qz_crc32(dst + out_off[i], out_len[i], 0)
+                      : 0;
+      if (done) done[i].store(1, std::memory_order_release);
     }
+  };
+  auto hasher = [&]() {
+    uint32_t seed = xxh[0];
+    uint32_t a1 = seed + XP1 + XP2, a2 = seed + XP2, a3 = seed,
+             a4 = seed - XP1;
+    uint64_t total = 0;
+    xxh[1] = 0;
+    for (int32_t i = 0; i < nblk; ++i) {
+      while (!done[i].load(std::memory_order_acquire))
+        std::this_thread::yield();
+      int64_t ln = out_len[i];
+      if (ln < 0) return;                       // decode failed
+      if (i + 1 < nblk && (ln == 0 || (ln & 15))) return;  // phase break
+      const uint8_t* p = dst + out_off[i];
+      const uint8_t* lim = p + (ln & ~(int64_t)15);
+      while (p < lim) {
+        a1 = rotl32(a1 + xread32(p) * XP2, 13) * XP1; p += 4;
+        a2 = rotl32(a2 + xread32(p) * XP2, 13) * XP1; p += 4;
+        a3 = rotl32(a3 + xread32(p) * XP2, 13) * XP1; p += 4;
+        a4 = rotl32(a4 + xread32(p) * XP2, 13) * XP1; p += 4;
+      }
+      total += ln;
+    }
+    // finalize (the one-shot tail: <16 trailing bytes live in the LAST
+    // block; every earlier block was a multiple of 16)
+    uint32_t h;
+    if (total >= 16) {
+      h = rotl32(a1, 1) + rotl32(a2, 7) + rotl32(a3, 12) + rotl32(a4, 18);
+    } else {
+      h = seed + XP5;
+    }
+    h += (uint32_t)total;
+    if (nblk > 0) {
+      int64_t ln = out_len[nblk - 1];
+      int64_t tail = total >= 16 ? (ln & 15) : ln;
+      const uint8_t* p = dst + out_off[nblk - 1] + (ln - tail);
+      const uint8_t* end = p + tail;
+      while (p + 4 <= end) {
+        h = rotl32(h + xread32(p) * XP3, 17) * XP4;
+        p += 4;
+      }
+      while (p < end) {
+        h = rotl32(h + (*p) * XP5, 11) * XP1;
+        ++p;
+      }
+    }
+    h ^= h >> 15; h *= XP2; h ^= h >> 13; h *= XP3; h ^= h >> 16;
+    xxh[0] = h;
+    xxh[1] = 1;
   };
   if (nthreads <= 1 || nblk <= 1) {
     worker();
+    if (xxh && nblk > 0) hasher();
+    else if (xxh) xxh[1] = 0;
     return;
   }
   int nt = nthreads < nblk ? nthreads : nblk;
   std::thread threads[64];
   if (nt > 64) nt = 64;
   for (int t = 0; t < nt; ++t) threads[t] = std::thread(worker);
+  std::thread hthread;
+  if (xxh) hthread = std::thread(hasher);
   for (int t = 0; t < nt; ++t) threads[t].join();
+  if (hthread.joinable()) hthread.join();
 }
 
 void qz_inflate_batch(const uint8_t* src, const int64_t* in_off,

@@ -30,21 +30,32 @@ void qz_lz4_decompress_batch(const uint8_t* src, const int64_t* in_off,
                              const int64_t* in_len, uint8_t* dst,
                              const int64_t* out_off, const int64_t* out_cap,
                              int64_t* out_len, int32_t nblk,
-                             int32_t nthreads);
+                             int32_t nthreads, uint32_t* crcs,
+                             uint32_t* xxh);
 
-/* lz4_batch_bytes(data, in_offs, in_lens, out_caps, nthreads)
- *   -> (out: bytes, out_lens: bytes(int64 LE))
+/* lz4_batch_bytes(data, in_offs, in_lens, out_caps, nthreads, want_xxh,
+ *                 xxh_seed)
+ *   -> (out: bytes, out_lens: bytes(int64 LE), crcs: bytes(uint32 LE),
+ *       xxh: int or None)
  * in_lens[i] < 0 marks a stored block of |in_lens[i]| verbatim bytes.
+ * crcs[i] = crc32 of block i's decoded bytes (computed cache-warm by the
+ * decode workers; the caller combine-folds them). want_xxh != 0 asks a
+ * trailing thread to XXH32 the whole output overlapped with the decode;
+ * None is returned when the block shape made that invalid.
  */
 static PyObject* lz4_batch_bytes(PyObject* self, PyObject* args) {
   Py_buffer data, offs, lens, caps_b;
   int nthreads = 0;
+  int want_xxh = 0;
+  unsigned int xxh_seed = 0;
+  uint32_t xxh[2] = {0, 0};
   (void)self;
-  if (!PyArg_ParseTuple(args, "y*y*y*y*i", &data, &offs, &lens, &caps_b,
-                        &nthreads))
+  if (!PyArg_ParseTuple(args, "y*y*y*y*i|iI", &data, &offs, &lens, &caps_b,
+                        &nthreads, &want_xxh, &xxh_seed))
     return NULL;
   PyObject* out = NULL;
   PyObject* outlens = NULL;
+  PyObject* outcrcs = NULL;
   int64_t* out_off = NULL;
   if (offs.len != lens.len || offs.len != caps_b.len || offs.len % 8 != 0) {
     PyErr_SetString(PyExc_ValueError, "offs/lens/caps length mismatch");
@@ -69,14 +80,18 @@ static PyObject* lz4_batch_bytes(PyObject* self, PyObject* args) {
     }
     out = PyBytes_FromStringAndSize(NULL, total);
     outlens = PyBytes_FromStringAndSize(NULL, n * 8);
-    if (!out || !outlens) goto fail;
+    outcrcs = PyBytes_FromStringAndSize(NULL, n * 4);
+    if (!out || !outlens || !outcrcs) goto fail;
     if (n > 0) {
       uint8_t* dst = (uint8_t*)PyBytes_AS_STRING(out);
       int64_t* olen = (int64_t*)PyBytes_AS_STRING(outlens);
+      uint32_t* crcs = (uint32_t*)PyBytes_AS_STRING(outcrcs);
       const uint8_t* src = (const uint8_t*)data.buf;
+      xxh[0] = (uint32_t)xxh_seed;
       Py_BEGIN_ALLOW_THREADS;
       qz_lz4_decompress_batch(src, in_off, in_len, dst, out_off, cap, olen,
-                              (int32_t)n, (int32_t)nthreads);
+                              (int32_t)n, (int32_t)nthreads, crcs,
+                              want_xxh ? xxh : NULL);
       Py_END_ALLOW_THREADS;
     }
   }
@@ -86,9 +101,14 @@ static PyObject* lz4_batch_bytes(PyObject* self, PyObject* args) {
   PyBuffer_Release(&lens);
   PyBuffer_Release(&caps_b);
   {
-    PyObject* tup = PyTuple_Pack(2, out, outlens);
+    PyObject* hv = (want_xxh && xxh[1])
+                       ? PyLong_FromUnsignedLong(xxh[0])
+                       : (Py_INCREF(Py_None), Py_None);
+    PyObject* tup = hv ? PyTuple_Pack(4, out, outlens, outcrcs, hv) : NULL;
     Py_XDECREF(out);
     Py_XDECREF(outlens);
+    Py_XDECREF(outcrcs);
+    Py_XDECREF(hv);
     return tup;
   }
 fail:
@@ -99,6 +119,7 @@ fail:
   PyBuffer_Release(&caps_b);
   Py_XDECREF(out);
   Py_XDECREF(outlens);
+  Py_XDECREF(outcrcs);
   return NULL;
 }
 

@@ -341,6 +341,8 @@ def _decompress_lz4(data: bytes, engine=None) -> Tuple[bytes, int, int]:
     blocks, footer_off = walked
     max_block = 1 << (8 + 2 * max(4, (info.bd >> 4) & 7))
     out = None
+    total_crc = None
+    frame_xxh = None
     from . import native as _native
     if (_native.lib is not None
             and os.environ.get("QZTPU_DEVICE_DECODE", "0") != "1"):
@@ -356,11 +358,25 @@ def _decompress_lz4(data: bytes, engine=None) -> Tuple[bytes, int, int]:
         in_lens = _np.fromiter(
             ((-b[1] if b[2] else b[1]) for b in blocks), _np.int64, nb)
         caps = _np.full(nb, max_block, _np.int64)
-        buf, out_lens = _native.lib.lz4_batch_bytes(data, in_offs,
-                                                    in_lens, caps)
+        if nb and info.content_size is not None:
+            # exact tail cap: sum(caps) == declared content size, so the
+            # decoded bytes object needs no trailing-slice copy (a full
+            # extra pass on large frames)
+            tail = info.content_size - (nb - 1) * max_block
+            if 0 < tail <= max_block:
+                caps[-1] = tail
+        buf, out_lens, crcs, batch_xxh = _native.lib.lz4_batch_bytes(
+            data, in_offs, in_lens, caps,
+            want_xxh=info.has_content_checksum)
         if ((out_lens >= 0).all()
                 and (out_lens[:-1] == max_block).all() if nb else True):
             out = buf[: int(out_lens.sum())]
+            frame_xxh = batch_xxh
+            # whole-output crc32 from the per-block crcs computed
+            # cache-warm inside the decode call — skips re-reading the
+            # output (another full DRAM pass)
+            total_crc = crc32_combine_many(
+                [int(c) for c in crcs], [int(x) for x in out_lens])
     if out is None:
         payloads, sizes, stored_chunks = [], [], {}
         for i, (off, sz, stored) in enumerate(blocks):
@@ -383,15 +399,22 @@ def _decompress_lz4(data: bytes, engine=None) -> Tuple[bytes, int, int]:
     consumed = footer_off + 4
     if info.has_content_checksum:
         (want,) = struct.unpack_from("<I", data, consumed)
-        if xxh32(out) != want:
+        # the trailing hasher computed the content XXH32 overlapped with
+        # the decode (L2-warm); recompute only when it couldn't
+        got_xxh = frame_xxh if frame_xxh is not None else xxh32(out)
+        if got_xxh != want:
             raise QzError(QZ_DATA_ERROR, "LZ4 content checksum mismatch")
         consumed += 4
     if info.content_size is not None and info.content_size != len(out):
         raise QzError(QZ_DATA_ERROR, "LZ4 content size mismatch")
+    if total_crc is None:
+        total_crc = crc32(out)
     # concatenated frames: recurse on the remainder
     if consumed < len(data):
-        rest, more, _ = _decompress_lz4(data[consumed:], engine)
+        rest, more, rest_crc = _decompress_lz4(data[consumed:], engine)
         if more:
             out += rest
             consumed += more
-    return out, consumed, crc32(out)
+            from .ops import crc32_combine
+            total_crc = crc32_combine(total_crc, rest_crc, len(rest))
+    return out, consumed, total_crc

@@ -187,7 +187,7 @@ class _NativeLib:
         L.qz_lz4_decompress_batch.argtypes = [_u8p, _i64p, _i64p, _u8p,
                                               _i64p, _i64p, _i64p,
                                               ctypes.c_int32,
-                                              ctypes.c_int32]
+                                              ctypes.c_int32, _u32p]
         L.qz_deflate_pack.restype = ctypes.c_int64
         L.qz_deflate_pack.argtypes = [_u8p, ctypes.c_int64, _u32p,
                                       ctypes.c_int64, _u8p, ctypes.c_int64,
@@ -324,22 +324,28 @@ class _NativeLib:
         return arr.tobytes(), crcs, out_lens, in_used
 
     def lz4_batch_bytes(self, data, in_offs, in_lens, out_caps,
-                        nthreads: int = 0):
+                        nthreads: int = 0, want_xxh: bool = False,
+                        xxh_seed: int = 0):
         """Batched GIL-free LZ4 block decode into one bytes object
         (in_lens[i] < 0 = stored block of |len| verbatim bytes). Returns
         (out: bytes of sum(out_caps), out_lens: np.int64 — decoded size
-        per block, -1 on a malformed block). The LZ4 mirror of
+        per block, -1 on a malformed block, crcs: np.uint32 — per-block
+        crc32 computed cache-warm by the decode workers, xxh: XXH32 of
+        the whole output computed by a trailing overlapped thread when
+        ``want_xxh``, else/invalid None). The LZ4 mirror of
         inflate_batch_bytes."""
         import os as _os
         if nthreads <= 0:
-            nthreads = min(4 * (_os.cpu_count() or 4), 32)
+            nthreads = min(2 * (_os.cpu_count() or 4), 32)
         offs = np.ascontiguousarray(in_offs, np.int64)
         lens = np.ascontiguousarray(in_lens, np.int64)
         caps = np.ascontiguousarray(out_caps, np.int64)
         if pyext is not None and hasattr(pyext, "lz4_batch_bytes"):
-            out, lens_b = pyext.lz4_batch_bytes(data, offs, lens, caps,
-                                                nthreads)
-            return out, np.frombuffer(lens_b, np.int64)
+            out, lens_b, crcs_b, xh = pyext.lz4_batch_bytes(
+                data, offs, lens, caps, nthreads, 1 if want_xxh else 0,
+                xxh_seed & 0xFFFFFFFF)
+            return (out, np.frombuffer(lens_b, np.int64),
+                    np.frombuffer(crcs_b, np.uint32), xh)
         n = len(offs)
         sa = (np.frombuffer(data, np.uint8)
               if not isinstance(data, np.ndarray) else data)
@@ -348,14 +354,19 @@ class _NativeLib:
         total = int(caps.sum())
         dst = np.empty(max(total, 1), np.uint8)
         out_lens = np.empty(n, np.int64)
+        crcs = np.empty(n, np.uint32)
+        xxh = np.array([xxh_seed & 0xFFFFFFFF, 0], np.uint32)
         self._lib.qz_lz4_decompress_batch(
             self._as_u8p(sa) if len(sa) else self._as_u8p(
                 np.empty(1, np.uint8)),
             offs.ctypes.data_as(_i64p), lens.ctypes.data_as(_i64p),
             self._as_u8p(dst), out_offs.ctypes.data_as(_i64p),
             caps.ctypes.data_as(_i64p), out_lens.ctypes.data_as(_i64p),
-            n, nthreads)
-        return dst[:total].tobytes(), out_lens
+            n, nthreads,
+            crcs.ctypes.data_as(_u32p),
+            xxh.ctypes.data_as(_u32p) if want_xxh else None)
+        xh = int(xxh[0]) if want_xxh and xxh[1] else None
+        return dst[:total].tobytes(), out_lens, crcs, xh
 
     @staticmethod
     def _stage_chunk_batch(chunks, caps_of):

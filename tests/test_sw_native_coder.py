@@ -317,3 +317,29 @@ def test_lz4_compress_batch_matches_per_chunk():
                                              mini_match=3)
     for ch, p in zip(chunks, pays2):
         assert bytes(p) == native.lib.lz4s_compress_block(bytes(ch), 3)
+
+
+def test_lz4_batch_trailing_xxh_matches_oneshot():
+    """Round 5: the LZ4 batch decode's trailing XXH32 thread (content
+    checksum overlapped with decode) must equal the one-shot hash for
+    every block-shape edge: sub-stripe totals, exact/±1 block sizes,
+    stored blocks, and multi-block frames."""
+    import qatzip_tpu as qz
+    from qatzip_tpu import params as P
+
+    s = qz.QzSession()
+    s.setup_lz4(P.get_defaults("lz4"))
+    rng = np.random.default_rng(3)
+    base = rng.integers(97, 105, 3000, dtype=np.uint8).tobytes()
+    for sz in (0, 1, 15, 16, 17, 65535, 65536, 65537, 200000):
+        for kind in ("text", "rand"):
+            if kind == "text":
+                d = (base * (sz // len(base) + 1))[:sz]
+            else:  # incompressible -> stored blocks in the frame
+                d = rng.integers(0, 256, sz, dtype=np.uint8).tobytes()
+            assert s.decompress(s.compress(d)) == d, (sz, kind)
+    # corrupted content checksum must still raise through the fast path
+    blob = bytearray(s.compress(base * 40))
+    blob[-1] ^= 0xFF
+    with pytest.raises(qz.QzError):
+        s.decompress(bytes(blob))
