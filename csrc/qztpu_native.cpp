@@ -1738,6 +1738,9 @@ int64_t qz_inflate_raw2(const uint8_t* src, int64_t n, uint8_t* dst,
         // 45 <= 56 buffered bits; a PAIR step consumes <= ROOT = 10),
         // so the per-literal nbits check disappears — refill only every
         // third step. Pair entries (0x10000000) write two bytes.
+        // (Hoisting the output bound to one check per 3-step group was
+        // measured 19% SLOWER at -O3 — the fatter loop body hurts more
+        // than three predictable branches; tools/decprof.py.)
         while (e & 0x20000000u) {
           in.drop(e & 31);
           if (e & 0x10000000u) {
