@@ -2252,7 +2252,7 @@ void qz_inflate_batch(const uint8_t* src, const int64_t* in_off,
 }  // extern "C" — the matcher template below needs C++ linkage
 
 namespace {
-static const int HLOG = 15;
+static const int HLOG = 16;
 static inline uint32_t h4(const uint8_t* p) {
   uint32_t w;
   std::memcpy(&w, p, 4);
