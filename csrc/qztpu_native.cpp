@@ -589,20 +589,36 @@ struct BitWriter {
   int64_t cap;
   int64_t bitpos;
   bool overflow;
-  void put(uint32_t value, int nbits) {
-    if (overflow) return;
-    int64_t byte = bitpos >> 3;
-    int shift = (int)(bitpos & 7);
-    if (byte + 8 > cap) { overflow = true; return; }
-    // one 8-byte read-OR-write instead of a per-byte loop: value<<shift
-    // is <= 39 bits, dst is pre-zeroed and bits are append-only, so the
-    // OR never clobbers later bytes (stateless — safe across the direct
-    // bitpos manipulation emit_stored does)
-    uint64_t cur;
-    std::memcpy(&cur, dst + byte, 8);
-    cur |= (uint64_t)value << shift;
-    std::memcpy(dst + byte, &cur, 8);
-    bitpos += nbits;
+  // register accumulator: put() is pure register ops; one 8-byte
+  // read-OR-write lands every ~56 accumulated bits (~6 literal codes)
+  // instead of per symbol. Callers that read/steer ``bitpos`` directly
+  // (stored-block emit, sync-flush tails, return values) MUST call
+  // flush() first — acc bits are not visible in dst or bitpos until
+  // then. dst stays pre-zeroed/append-only as before.
+  uint64_t acc = 0;
+  int nacc = 0;
+  void flush() {
+    if (!nacc) return;
+    if (!overflow) {
+      int64_t byte = bitpos >> 3;
+      int shift = (int)(bitpos & 7);
+      if (byte + 8 > cap) {
+        overflow = true;
+      } else {
+        uint64_t cur;
+        std::memcpy(&cur, dst + byte, 8);
+        cur |= acc << shift;           // nacc <= 56, shift <= 7: fits
+        std::memcpy(dst + byte, &cur, 8);
+        bitpos += nacc;
+      }
+    }
+    acc = 0;
+    nacc = 0;
+  }
+  inline void put(uint32_t value, int nbits) {
+    if (nacc + nbits > 56) flush();
+    acc |= (uint64_t)value << nacc;
+    nacc += nbits;
   }
 };
 
@@ -833,6 +849,8 @@ static int64_t emit_stored(BitWriter& bw, const uint8_t* src, int64_t n,
     bool last = (off + blk == n);
     bw.put((final_block && last) ? 1u : 0u, 1);
     bw.put(0u, 2);
+    bw.flush();
+    if (bw.overflow) return -1;
     // align to byte
     bw.bitpos = (bw.bitpos + 7) & ~7ll;
     int64_t byte = bw.bitpos >> 3;
@@ -1024,12 +1042,14 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
     // byte-align with an empty stored block (sync flush)
     bw.put(0u, 1);
     bw.put(0u, 2);
+    bw.flush();
     bw.bitpos = (bw.bitpos + 7) & ~7ll;
     int64_t byte = bw.bitpos >> 3;
     if (byte + 4 > cap) return -1;
     dst[byte] = 0; dst[byte + 1] = 0; dst[byte + 2] = 0xFF; dst[byte + 3] = 0xFF;
     bw.bitpos += 32;
   }
+  bw.flush();
   if (bw.overflow) return -1;
   return (bw.bitpos + 7) >> 3;
 }
@@ -1103,6 +1123,7 @@ int64_t qz_dyn_plan(const uint32_t* lfreq, const uint32_t* dfreq,
     bw.put(clcode[ops[i].sym], cllen[ops[i].sym]);
     if (ops[i].extra_bits) bw.put(ops[i].extra, ops[i].extra_bits);
   }
+  bw.flush();
   if (bw.overflow) return -1;
   return bw.bitpos;
 }
@@ -1241,6 +1262,7 @@ int64_t qz_deflate_static_block(const uint8_t* lits, const uint16_t* lens,
     static_lit_code(256, &code, &nb);
     bw.put(code, nb);
   }
+  bw.flush();
   if (bw.overflow) return -1;
   *out_bitpos = bw.bitpos;
   return (bw.bitpos + 7) >> 3;
