@@ -621,7 +621,10 @@ class _NativeLib:
         n = len(src)
         sa = (np.frombuffer(src, np.uint8) if not isinstance(src, np.ndarray)
               else src)
-        cap = n // 3 + 64
+        # worst case ~2 tokens per 5 bytes (1-literal run + 4-byte match
+        # alternating) — n/2 + 64 is safely above it (same bound as the
+        # C batch); n/3 could overflow on adversarial input and raise
+        cap = n // 2 + 64
         toks = np.empty(cap, np.uint32)
         r = self._lib.qz_lz77_host(
             self._as_u8p(sa) if n else self._as_u8p(np.empty(1, np.uint8)),
