@@ -2280,7 +2280,9 @@ static inline uint32_t h4(const uint8_t* p) {
   std::memcpy(&w, p, 4);
   return (w * 2654435761u) >> (32 - HLOG);
 }
-// common-prefix length of a vs b, up to maxlen (8-byte compares)
+// common-prefix length of a vs b, up to maxlen (8-byte compares; a
+// 32-byte AVX2 variant measured 167 vs 174 MB/s matcher rate — most
+// matches are short, so wider loads don't save iterations)
 static inline int match_len(const uint8_t* a, const uint8_t* b, int maxlen) {
   int k = 0;
   while (k + 8 <= maxlen) {
