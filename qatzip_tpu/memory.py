@@ -68,7 +68,12 @@ class BufferPool:
             kind = self._kind.get(ptr, MemType.COMMON_MEM)
             if kind == MemType.PINNED_MEM:
                 bucket = self._free[buf.nbytes]
-                if len(bucket) < self._depth:
+                # large buckets (batch-compress staging: tens of MB per
+                # buffer) retain at most 2 — steady state reuses one;
+                # the full list depth on a 50 MB bucket would pin
+                # ~400 MB under concurrent sessions
+                depth = 2 if buf.nbytes > (8 << 20) else self._depth
+                if len(bucket) < depth:
                     bucket.append(buf)
                     return
                 del self._kind[ptr]
