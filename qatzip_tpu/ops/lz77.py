@@ -193,16 +193,32 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
     iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
     hashable = (iota + min_match) <= lengths[:, None]
 
-    h = ((w4 * HASH_MUL) >> np.uint32(32 - HASH_BITS)).astype(jnp.uint32)
+    # Adaptive hash width: the sort key is (hash << pbits) | relpos with a
+    # sentinel bucket at 1 << hb, so hb + pbits <= 31. Full-row 64K search
+    # forces hb = 15 (the historical HASH_BITS); segmented windows
+    # (pbits = 13 at W = 8192) leave room for 18 bits — 8x fewer false
+    # bucket collisions, so the fixed probe budget reaches deeper REAL
+    # predecessors at identical op count (speed-neutral, ratio-positive;
+    # tools/ratiocheck.py). Capped at 18: beyond the window's occupancy
+    # (~2^13 positions) more bits stop separating anything.
+    if search_stride == 2 and 0 < search_seg < n:
+        hash_pbits = max((search_seg // 2 - 1).bit_length(), 1)
+    elif 0 < search_seg < n:
+        hash_pbits = max((search_seg - 1).bit_length(), 1)
+    else:
+        hash_pbits = max((n - 1).bit_length(), 1)
+    hb = min(18, 31 - hash_pbits)
+    h = ((w4 * HASH_MUL) >> np.uint32(32 - hb)).astype(jnp.uint32)
     # unhashable positions go to a private overflow bucket
-    h = jnp.where(hashable, h, np.uint32(1 << HASH_BITS))
+    h = jnp.where(hashable, h, np.uint32(1 << hb))
 
     if search_stride == 2 and 0 < search_seg < n:
         return _analyze_stride2(
             data, lengths, iota, h, ctx, b, n, min_match=min_match,
             max_match=max_match, window=window, parse_seg=parse_seg,
             ctx_words=ctx_words, probes=probes, lz4_rules=lz4_rules,
-            search_seg=search_seg, search_overlap=search_overlap)
+            search_seg=search_seg, search_overlap=search_overlap,
+            hash_hi=np.uint32(1 << hb))
 
     # --- sort by (hash, pos); context rides along -------------------------
     # search_seg > 0 runs the sort pair over overlapped windows of WIDTH
@@ -231,7 +247,7 @@ def _analyze(data, lengths, *, n, min_match, max_match, window,
         relpos = jax.lax.broadcasted_iota(jnp.uint32, (b * nwin, W), 1)
         # synthetic pads go to the overflow bucket so they never become
         # candidates
-        key = (seg(h, np.uint32(1 << HASH_BITS)) << pbits) | relpos
+        key = (seg(h, np.uint32(1 << hb)) << pbits) | relpos
         ctx_in = [seg(c, np.uint32(0)) for c in ctx]
     else:
         W, ov, own, nwin = n, 0, n, 1
@@ -386,7 +402,8 @@ def _extend_matches(p, *, cap0, max_match, min_match, n, unit: int = 1):
 
 def _analyze_stride2(data, lengths, iota, h, ctx, b, n, *, min_match,
                      max_match, window, parse_seg, ctx_words, probes,
-                     lz4_rules, search_seg, search_overlap):
+                     lz4_rules, search_seg, search_overlap,
+                     hash_hi=np.uint32(1 << HASH_BITS)):
     """Half-lattice candidate search: sort EVEN positions only.
 
     The sort pair is ~60% of tokenizer compute and its cost is the
@@ -452,7 +469,7 @@ def _analyze_stride2(data, lengths, iota, h, ctx, b, n, *, min_match,
         return jnp.stack(wins, axis=1).reshape(b * nwin, W)
 
     relpos = jax.lax.broadcasted_iota(jnp.uint32, (b * nwin, W), 1)
-    key = (seg(h_e, np.uint32(1 << HASH_BITS)) << pbits) | relpos
+    key = (seg(h_e, hash_hi) << pbits) | relpos
     ctx_in = [seg(c, np.uint32(0)) for c in ctx_e]
 
     sorted_ops = jax.lax.sort((key, *ctx_in), dimension=1, num_keys=1,
