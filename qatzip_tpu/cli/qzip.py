@@ -19,8 +19,8 @@ import time
 from typing import Optional
 
 from .. import params as P
-from ..constants import (QZ_UNSUPPORTED_FMT, DataFormat, Direction,
-                         HuffmanHdr, PollingMode, QzError)
+from ..constants import (QZ_DATA_ERROR, QZ_UNSUPPORTED_FMT, DataFormat,
+                         Direction, HuffmanHdr, PollingMode, QzError)
 from ..session import QzSession
 
 SUFFIXES = {".gz", ".lz4", ".lz4s", ".7z", ".zst"}
@@ -198,6 +198,15 @@ def process_file(args, in_name: str) -> int:
                 if decompress:
                     out, consumed = sess.decompress(buf, return_consumed=True)
                     if consumed == 0:
+                        # a recognized magic with no decodable member is a
+                        # truncated/corrupt stream, not an unknown format
+                        # (stock gzip: "unexpected end of file")
+                        if buf[:2] == b"\x1f\x8b" or \
+                                buf[:4] == b"\x04\x22\x4d\x18":
+                            raise QzError(QZ_DATA_ERROR,
+                                          f"{in_name}: unexpected end of "
+                                          "input (truncated or corrupt "
+                                          "member)")
                         raise QzError(QZ_UNSUPPORTED_FMT,
                                       f"{in_name}: not in a supported format")
                     pending = buf[consumed:]

@@ -114,3 +114,21 @@ def test_qzip_block_device_input(tmp_path):
         assert os.path.exists(dev)      # node not unlinked despite no -k
     finally:
         subprocess.run(["losetup", "-d", dev])
+
+
+def test_qzip_truncated_member_is_data_error(tmp_path, capsys):
+    """A recognized magic with no decodable member reports a DATA error
+    (stock gzip's "unexpected end of file"), not an unknown format."""
+    from qatzip_tpu.cli import qzip as cli
+
+    full = _gzip.compress(b"payload " * 4000, 1)
+    t = tmp_path / "t.gz"
+    t.write_bytes(full[: len(full) // 2])
+    assert cli.main(["-d", "-o", str(tmp_path / "t.out"), str(t)]) == 1
+    err = capsys.readouterr().err
+    assert "unexpected end of input" in err
+    assert not (tmp_path / "t.out").exists()   # no partial output
+    # garbage without a known magic still reports unsupported format
+    j = tmp_path / "j.gz"
+    j.write_bytes(b"\x00\x01\x02garbage")
+    assert cli.main(["-d", "-o", str(tmp_path / "j.out"), str(j)]) == 1
