@@ -51,19 +51,25 @@ def make_corpus(target_mb: int = 48) -> bytes:
     return blob[: target_mb << 20]
 
 
-def _time_decompress_subprocess(blob: bytes, want_len: int, iters: int):
-    """Best decompress seconds, measured in a fresh SW-only process."""
+def _time_decompress_subprocess(blob: bytes, want_len: int, iters: int,
+                                algo: str = "deflate"):
+    """Best decompress seconds, measured in a fresh SW-only process.
+
+    In-process host timings are depressed ~20-40% by the axon client's
+    polling threads (they steal a core from the decode pool), so every
+    host-decompress figure is timed in a clean subprocess."""
     import subprocess
     import tempfile
 
     with tempfile.NamedTemporaryFile(suffix=".qzb", delete=False) as f:
         f.write(blob)
         path = f.name
+    setup = ("s.setup_lz4()" if algo == "lz4" else "s.setup_deflate()")
     prog = (
         "import time,sys,zlib\n"
         "import qatzip_tpu as qz\n"
         "blob=open(sys.argv[1],'rb').read()\n"
-        "s=qz.QzSession(); s.setup_deflate()\n"
+        f"s=qz.QzSession(); {setup}\n"
         "best=1e9\n"
         f"for _ in range({iters}):\n"
         "    t0=time.perf_counter(); out=s.decompress(blob)\n"
@@ -284,7 +290,12 @@ def _multicore_sw_gbps(corpus: bytes, iters: int):
     """Product-path SW compress over the host pool (all cores) — the
     in-process analog of the reference's N-process × M-thread harness
     (test/performance_tests/run_perf_test.sh:106-125). Returns
-    (gbps, out_bytes)."""
+    (gbps, out_bytes).
+
+    The output bytes come from an in-process run (also the round-trip
+    check); the recorded time comes from a clean SW-only subprocess when
+    available — this is the no-device product path, and the axon
+    client's polling threads depress in-process host timings 20-40%."""
     from qatzip_tpu import codec as C
     from qatzip_tpu.constants import DataFormat
 
@@ -297,7 +308,47 @@ def _multicore_sw_gbps(corpus: bytes, iters: int):
             data_fmt=DataFormat.DEFLATE_GZIP_EXT, level=1,
             hw_buff_sz=64 * 1024, engine=None)
         best = min(best, time.perf_counter() - t0)
+    sub = _time_multicore_subprocess(corpus, iters)
+    if sub is not None:
+        best = min(best, sub)
     return len(corpus) / best / 1e9, out
+
+
+def _time_multicore_subprocess(corpus: bytes, iters: int):
+    """Best multicore SW-compress seconds in a fresh SW-only process."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".raw", delete=False) as f:
+        f.write(corpus)
+        path = f.name
+    prog = (
+        "import time,sys\n"
+        "from qatzip_tpu import codec as C\n"
+        "from qatzip_tpu.constants import DataFormat\n"
+        "corpus=open(sys.argv[1],'rb').read()\n"
+        "best=1e9\n"
+        f"for _ in range({iters}):\n"
+        "    t0=time.perf_counter()\n"
+        "    C.compress_buffer(corpus, algorithm='deflate',"
+        " data_fmt=DataFormat.DEFLATE_GZIP_EXT, level=1,"
+        " hw_buff_sz=64*1024, engine=None)\n"
+        "    best=min(best,time.perf_counter()-t0)\n"
+        "print('MCT', best)\n")
+    env = dict(os.environ, QZTPU_FORCE_SW="1", JAX_PLATFORMS="cpu")
+    try:
+        r = subprocess.run([sys.executable, "-c", prog, path],
+                           capture_output=True, text=True, timeout=600,
+                           env=env, cwd=os.path.dirname(
+                               os.path.abspath(__file__)))
+        for line in r.stdout.splitlines():
+            if line.startswith("MCT "):
+                return float(line.split()[1])
+    except Exception:  # noqa: BLE001
+        pass
+    finally:
+        os.unlink(path)
+    return None
 
 
 def _lz4_bench(corpus: bytes, iters: int):
@@ -318,13 +369,18 @@ def _lz4_bench(corpus: bytes, iters: int):
         out = s.compress(corpus)
         best = min(best, time.perf_counter() - t0)
     assert s.decompress(out) == corpus
-    dbest = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        s.decompress(out)
-        dbest = min(dbest, time.perf_counter() - t0)
+    # decompress timing in a clean subprocess (axon polling threads
+    # depress in-process host timings); in-process best-of as fallback
+    ddt, _z, _s = _time_decompress_subprocess(out, len(corpus),
+                                              max(6, iters), algo="lz4")
+    if ddt is None:
+        ddt = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            s.decompress(out)
+            ddt = min(ddt, time.perf_counter() - t0)
     return (len(corpus) / best / 1e9, len(corpus) / len(out),
-            len(corpus) / dbest / 1e9)
+            len(corpus) / ddt / 1e9)
 
 
 def main():
@@ -368,7 +424,7 @@ def main():
     # threads alive that steal ~a core from the host-side decode.
     assert sess.decompress(out) == corpus
     ddt, sub_zdt, sub_zsize = _time_decompress_subprocess(
-        out, len(corpus), max(3, iters))   # best-of-3+: host timings on
+        out, len(corpus), max(6, iters))   # best-of-6+: host timings on
     # this VM swing 20-30% with neighbor load; extra iterations cost
     # ~40 ms each and de-noise the recorded best
     if ddt is None:   # subprocess failed — fall back to in-process timing
@@ -432,10 +488,13 @@ def main():
     dev_pack_gbps = (_device_pack_gbps(corpus, max(iters, 3))
                      if on_device else None)
 
-    # product-path SW multicore e2e (host pool, all cores) + LZ4 e2e
-    mc_gbps, mc_out = _multicore_sw_gbps(corpus, max(2, iters - 1))
+    # product-path SW multicore e2e (host pool, all cores) + LZ4 e2e —
+    # best-of-4+: these host legs swing 20-30% with VM neighbor load and
+    # each extra iteration costs ~0.1-0.5 s (the device legs above are
+    # the expensive ones)
+    mc_gbps, mc_out = _multicore_sw_gbps(corpus, max(4, iters))
     assert sess.decompress(mc_out) == corpus
-    lz4_gbps, lz4_ratio, lz4_dec = _lz4_bench(corpus, max(2, iters - 1))
+    lz4_gbps, lz4_ratio, lz4_dec = _lz4_bench(corpus, max(4, iters))
 
     # Headline: on a relay-limited dev tunnel the end-to-end number
     # measures the tunnel, not the engine — report the device pipeline
