@@ -2224,6 +2224,17 @@ void qz_lz4_decompress_batch(const uint8_t* src, const int64_t* in_off,
   int nt = nthreads < nblk ? nthreads : nblk;
   std::thread threads[64];
   if (nt > 64) nt = 64;
+  if (xxh) {
+    // The trailing hasher is a SEQUENTIAL critical path that must read
+    // blocks while they are still cache-warm. Oversubscribed decode
+    // workers starve it to a ~1/(nt+1) fair share, it falls behind the
+    // decode wavefront, and the un-hashed tail is re-read from DRAM at
+    // ~1/3 the warm rate (measured: 46 ms vs the 31 ms this cap gives
+    // on the 48 MB bench frame). Leave the hasher one full core.
+    unsigned hw = std::thread::hardware_concurrency();
+    int cap = hw > 1 ? (int)hw - 1 : 1;
+    if (nt > cap) nt = cap;
+  }
   for (int t = 0; t < nt; ++t) threads[t] = std::thread(worker);
   std::thread hthread;
   if (xxh) hthread = std::thread(hasher);
