@@ -880,7 +880,11 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
   std::memset(dst, 0, (size_t)(cap < n + 64 ? cap : n + 64));
 
   // ----- histograms ------------------------------------------------------
+  // literal counts use 4 interleaved tables: a run of equal bytes (DNA,
+  // RLE text) otherwise serializes on one counter's load-add-store chain
   uint32_t lfreq[288] = {0}, dfreq[30] = {0};
+  static thread_local uint32_t lf4[3][256];
+  std::memset(lf4, 0, sizeof(lf4));
   uint64_t extra_bits = 0;
   {
     int64_t pos = 0;
@@ -903,7 +907,15 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
       } else if (tok_is_litrun(t)) {
         int run = tok_runlen(t);
         if (pos + run > n) return -2;
-        for (int k = 0; k < run; ++k) lfreq[src[pos + k]]++;
+        const uint8_t* p = src + pos;
+        int k = 0;
+        for (; k + 4 <= run; k += 4) {
+          lfreq[p[k]]++;
+          lf4[0][p[k + 1]]++;
+          lf4[1][p[k + 2]]++;
+          lf4[2][p[k + 3]]++;
+        }
+        for (; k < run; ++k) lfreq[p[k]]++;
         pos += run;
       } else {
         lfreq[tok_lit(t)]++;
@@ -911,6 +923,8 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
       }
     }
   }
+  for (int s = 0; s < 256; ++s)
+    lfreq[s] += lf4[0][s] + lf4[1][s] + lf4[2][s];
   lfreq[256]++;  // EOB
 
   // ----- static cost -----------------------------------------------------
