@@ -589,12 +589,15 @@ struct BitWriter {
   int64_t cap;
   int64_t bitpos;
   bool overflow;
-  // register accumulator: put() is pure register ops; one 8-byte
-  // read-OR-write lands every ~56 accumulated bits (~6 literal codes)
-  // instead of per symbol. Callers that read/steer ``bitpos`` directly
-  // (stored-block emit, sync-flush tails, return values) MUST call
-  // flush() first — acc bits are not visible in dst or bitpos until
-  // then. dst stays pre-zeroed/append-only as before.
+  // register accumulator: put() is pure register ops; one 8-byte store
+  // lands every ~56 accumulated bits (~6 literal codes) instead of per
+  // symbol. Callers that read/steer ``bitpos`` directly (stored-block
+  // emit, sync-flush tails, return values) MUST call flush() first —
+  // acc bits are not visible in dst or bitpos until then. dst needs NO
+  // pre-zeroing: each store zero-pads its window past the valid bits,
+  // the next flush starts inside the previous window (nacc <= 56 < 64),
+  // and only the partial first byte carries earlier content — so flush
+  // reads ONE byte, not the full (possibly virgin) 8-byte window.
   uint64_t acc = 0;
   int nacc = 0;
   void flush() {
@@ -605,8 +608,8 @@ struct BitWriter {
       if (byte + 8 > cap) {
         overflow = true;
       } else {
-        uint64_t cur;
-        std::memcpy(&cur, dst + byte, 8);
+        uint64_t cur = shift ? (uint64_t)(dst[byte] & ((1u << shift) - 1))
+                             : 0;
         cur |= acc << shift;           // nacc <= 56, shift <= 7: fits
         std::memcpy(dst + byte, &cur, 8);
         bitpos += nacc;
@@ -877,7 +880,10 @@ int64_t qz_deflate_pack(const uint8_t* src, int64_t n, const uint32_t* toks,
                         int64_t ntok, uint8_t* dst, int64_t cap,
                         int32_t final_block, int32_t mode) {
   if (!luts_init) init_luts();
-  std::memset(dst, 0, (size_t)(cap < n + 64 ? cap : n + 64));
+  // no dst pre-zeroing: the BitWriter's flush is self-sufficient (see
+  // struct note). Speed-neutral (A/B 274-291 both ways — the 64 KB
+  // memset was cheap on warm pages) but removes the latent requirement
+  // that pooled/recycled dst buffers arrive zeroed.
 
   // ----- histograms ------------------------------------------------------
   // literal counts use 4 interleaved tables: a run of equal bytes (DNA,
